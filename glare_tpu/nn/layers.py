@@ -1,0 +1,221 @@
+"""Foundation flax.linen layers, NHWC, with torch-matching initialization.
+
+These mirror the ldm-style building blocks of the reference
+(``/root/reference/code/models/modules/encoder_decoder.py``):
+ResnetBlock (GroupNorm32 + swish), AttnBlock (single-head full spatial
+attention), Up/Downsample (nearest x2 / zero-pad stride-2 conv).
+
+Initialization parity: torch ``nn.Conv2d`` defaults to kaiming-uniform with
+a=sqrt(5), which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+kernel and bias — replicated here so training-from-scratch dynamics match.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)); shape is HWIO."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in):
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """NHWC conv with torch-default init and optional zero init.
+
+    kernel shape HWIO; `padding` may be int, 'SAME', 'VALID', or explicit.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    zero_init: bool = False
+    feature_group_count: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kshape = (kh, kw, in_ch // self.feature_group_count, self.features)
+        if self.zero_init:
+            kinit = nn.initializers.zeros
+            binit = nn.initializers.zeros
+        else:
+            kinit = torch_conv_kernel_init
+            binit = torch_conv_bias_init(kh * kw * in_ch // self.feature_group_count)
+        kernel = self.param("kernel", kinit, kshape)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=tuple(self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param("bias", binit, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32, eps=1e-6, affine) in f32 for numerical stability
+    (reference: encoder_decoder.py:34-35)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then optional 3x3 conv (reference: encoder_decoder.py:38-53)."""
+
+    with_conv: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        if self.with_conv:
+            x = Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Asymmetric zero-pad (0,1,0,1) + stride-2 valid conv, or avg-pool
+    (reference: encoder_decoder.py:56-75)."""
+
+    with_conv: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        if self.with_conv:
+            x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
+            x = Conv(c, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm -> swish -> conv, twice, with 1x1 nin shortcut on channel
+    change (reference: encoder_decoder.py:78-137; temb unused in GLARE)."""
+
+    out_channels: int | None = None
+    conv_shortcut: bool = False
+    dropout: float = 0.0
+    dtype: Dtype = None
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        h = GroupNorm32(name="norm1")(x)
+        h = swish(h)
+        h = Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm32(name="norm2")(h)
+        h = swish(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=self.deterministic)(h)
+        h = Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_shortcut")(x)
+            else:
+                x = Conv(out_ch, (1, 1), padding=0, dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full spatial self-attention with 1x1 qkv convs
+    (reference: encoder_decoder.py:140-192).
+
+    Softmax and the attention matmuls accumulate in f32. Spatial dims are
+    flattened to tokens; safe for the latent resolutions GLARE uses
+    (<= ~20k tokens at 600x400 inputs).
+    """
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        h_ = GroupNorm32(name="norm")(x)
+        q = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="q")(h_)
+        k = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="k")(h_)
+        v = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="v")(h_)
+
+        q = q.reshape(b, h * w, c)
+        k = k.reshape(b, h * w, c)
+        v = v.reshape(b, h * w, c)
+
+        attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        attn = attn * (int(c) ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bqk,bkc->bqc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.reshape(b, h, w, c)
+        out = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class ResBlockGN(nn.Module):
+    """RIDCP-style ResBlock: GN->swish->conv x2 with 1x1 conv_out shortcut
+    (reference: deformableDecoder_arch.py:157-183)."""
+
+    out_channels: int | None = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x_in):
+        in_ch = x_in.shape[-1]
+        out_ch = self.out_channels or in_ch
+        x = GroupNorm32(name="norm1")(x_in)
+        x = swish(x)
+        x = Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = GroupNorm32(name="norm2")(x)
+        x = swish(x)
+        x = Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        if in_ch != out_ch:
+            x_in = Conv(out_ch, (1, 1), padding=0, dtype=self.dtype, name="conv_out")(x_in)
+        return x + x_in

@@ -1,0 +1,165 @@
+"""Adaptive Feature Transformation (AFT) decoder
+(reference: deformableDecoder_arch.py).
+
+  * :class:`DCNv2Pack` — modulated deformable conv whose offsets/masks are
+    predicted from a *different* feature map (deformableDecoder_arch.py:132-152),
+    zero-initialized so it starts as a plain conv.
+  * :class:`WarpBlock` — offset conv + DCNv2 alignment of VQGAN decoder
+    features to the current hidden state (:279-290).
+  * :class:`Mix` — learned sigmoid-scalar blend (:579-590).
+  * :class:`MultiScaleDecoder2` — VQGAN-shaped decoder fusing
+    (flow latent, VQGAN code_decoder_output, conditional-encoder mid_feat)
+    (:413-576). Instantiated with ch=128 (VQLLFLOWDeformable_arch.py:29-32).
+
+The reference constructs ``scale``/``bias``/``enc`` submodules and a
+``conv_out`` in MultiScaleDecoder2 that its forward never uses
+(:489-519,476); they are intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import AttnBlock, Conv, GroupNorm32, ResnetBlock, Upsample, swish
+from ..ops.dcn import modulated_deform_conv
+
+Dtype = Any
+
+
+class DCNv2Pack(nn.Module):
+    """Modulated deformable conv, offsets from a side feature map.
+
+    conv_offset is zero-initialized (reference: deform_conv.py:369-373) so
+    the op degenerates to mask=sigmoid(0)=0.5 times a regular conv at init.
+    """
+
+    features: int
+    deformable_groups: int = 4
+    kernel_size: int = 3
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, feat):
+        k = self.kernel_size
+        K = k * k
+        G = self.deformable_groups
+        B, H, W, C = x.shape
+
+        raw = Conv(
+            G * 3 * K, (k, k), padding=k // 2, zero_init=True,
+            dtype=self.dtype, name="conv_offset",
+        )(feat)
+        raw = raw.astype(jnp.float32)
+        o1, o2, m = jnp.split(raw, 3, axis=-1)
+        offset = jnp.stack(
+            [o1.reshape(B, H, W, G, K), o2.reshape(B, H, W, G, K)], axis=-1
+        )
+        mask = jax.nn.sigmoid(m.reshape(B, H, W, G, K))
+
+        weight = self.param(
+            "weight",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32,
+                -1.0 / (C * K) ** 0.5, 1.0 / (C * K) ** 0.5,
+            ),
+            (k, k, C, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return modulated_deform_conv(
+            x, offset, mask, weight, bias, padding=k // 2
+        )
+
+
+class WarpBlock(nn.Module):
+    """Align VQGAN features to the hidden state via DCNv2
+    (reference: deformableDecoder_arch.py:279-290)."""
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x_vq, x_residual):
+        c = x_vq.shape[-1]
+        side = Conv(c, (3, 3), padding=1, dtype=self.dtype, name="offset")(
+            jnp.concatenate([x_vq, x_residual.astype(x_vq.dtype)], axis=-1)
+        )
+        return DCNv2Pack(c, deformable_groups=4, dtype=self.dtype, name="dcn")(x_vq, side)
+
+
+class Mix(nn.Module):
+    """out = sigmoid(w)*fea1 + (1-sigmoid(w))*fea2 with scalar learned w
+    (reference: deformableDecoder_arch.py:579-590)."""
+
+    m: float = -0.80
+
+    @nn.compact
+    def __call__(self, fea1, fea2):
+        w = self.param("w", lambda key: jnp.asarray([self.m], jnp.float32))
+        mix_factor = jax.nn.sigmoid(w)[0].astype(fea1.dtype)
+        return fea1 * mix_factor + fea2.astype(fea1.dtype) * (1 - mix_factor)
+
+
+class MultiScaleDecoder2(nn.Module):
+    """AFT decoder (reference: deformableDecoder_arch.py:413-576).
+
+    forward(z, code_decoder_output, enc_feat):
+      VQGAN-decoder trunk from the flow latent z; at levels != 2:
+        h = Mix(enc_feat[level], h)
+        x_vq = WarpBlock(code_decoder_output[1-level], h)
+        h = h + x_vq * (mean(h) / mean(x_vq))
+      final: GroupNorm -> swish -> residual_conv(ch -> 3).
+    """
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (64,)
+    dropout: float = 0.0
+    resolution: int = 256
+    z_channels: int = 3
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, z, code_decoder_output, enc_feat):
+        num_resolutions = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[num_resolutions - 1]
+        curr_res = self.resolution // 2 ** (num_resolutions - 1)
+
+        h = Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = ResnetBlock(dropout=self.dropout, dtype=self.dtype, name="mid_block_1")(h)
+        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(dropout=self.dropout, dtype=self.dtype, name="mid_block_2")(h)
+
+        for i_level in reversed(range(num_resolutions)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(
+                    out_channels=block_out,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
+
+            if i_level != 2:
+                h = h.astype(jnp.float32)
+                x_code = code_decoder_output[1 - i_level].astype(jnp.float32)
+                h = Mix(
+                    m=-1.0 if i_level == 1 else -0.6, name=f"mix_{1 - i_level}"
+                )(enc_feat[i_level].astype(jnp.float32), h)
+                x_vq = WarpBlock(dtype=self.dtype, name=f"warp_{1 - i_level}")(x_code, h)
+                h = h + x_vq * (jnp.mean(h) / jnp.mean(x_vq))
+
+            if i_level != 0:
+                h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+
+        h = GroupNorm32(name="norm_out")(h)
+        h = swish(h)
+        h = Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="residual_conv")(h)
+        return h

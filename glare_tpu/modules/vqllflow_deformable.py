@@ -1,0 +1,77 @@
+"""Stage-3 network: frozen flow + AFT deformable decoder
+(reference: VQLLFLOWDeformable_arch.py:18-250).
+
+reverse_flow(lr) decomposes into two halves around the frozen VQGAN decode
+(which lives in a separate VQModel with its own params):
+
+    latent_half(lr):  lr_enc = ConEncoder1(lr, mid_feat=True)
+                      x = flow.decode(color_map, cond=lr_enc)   [frozen]
+    [outside]         rec, _, code_decoder_output = vqmodel.decode(x)
+    aft_half(...):    rec_def = MultiScaleDecoder2(x, code_decoder_output,
+                                                    lr_enc['mid_feat'])
+
+Freezing of RRDB + flowUpsamplerNet (fix_modules, reference :49-52) is
+handled in the trainer by zero-masking their gradients, keeping the module
+itself pure.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .condition_encoder import ConEncoder1
+from .deformable_decoder import MultiScaleDecoder2
+from .flow_upsampler import FlowUpsamplerNet
+
+Dtype = Any
+
+
+class VQLLFLOWDeformable(nn.Module):
+    K: int = 12
+    L: int = 2
+    additional_flow_no_affine: int = 2
+    hidden_channels: int = 64
+    coupling: str = "CondAffineSeparatedAndCond"
+    quant: float = 32.0
+    dtype: Dtype = None
+
+    def setup(self):
+        self.RRDB = ConEncoder1(dtype=self.dtype)
+        self.flowUpsamplerNet = FlowUpsamplerNet(
+            K=self.K,
+            L=self.L,
+            additional_flow_no_affine=self.additional_flow_no_affine,
+            hidden_channels=self.hidden_channels,
+            flow_coupling=self.coupling,
+        )
+        self.deformable_decoder = MultiScaleDecoder2(ch=128, dtype=self.dtype)
+
+    def __call__(self, lr, code_decoder_output=None, x_latent=None, mid_feat=None):
+        """Full reverse pass given externally-computed VQGAN decode outputs
+        (used for init/shape tracing)."""
+        x, lr_enc = self.latent_half(lr)
+        if code_decoder_output is None:
+            raise ValueError(
+                "VQLLFLOWDeformable needs the frozen VQGAN decode: run "
+                "latent_half, vqmodel.decode, then aft_half."
+            )
+        return self.aft_half(x, code_decoder_output, lr_enc["mid_feat"])
+
+    def latent_half(self, lr, lr_enc=None, eps_std=None):
+        """Conditional encode + frozen flow inverse -> VQGAN latent.
+        (reference: VQLLFLOWDeformable_arch.py:222-243)."""
+        if lr_enc is None:
+            lr_enc = self.RRDB(lr, mid_feat=True)
+        z = lr_enc["color_map"].astype(jnp.float32)
+        x, _logdet = self.flowUpsamplerNet.decode(z, lr_enc, logdet=None, eps_std=eps_std)
+        return x, lr_enc
+
+    def encode_cond(self, lr, mid_feat=True):
+        return self.RRDB(lr, mid_feat=mid_feat)
+
+    def aft_half(self, x_latent, code_decoder_output, mid_feat):
+        """AFT decoder fusion (reference: VQLLFLOWDeformable_arch.py:249)."""
+        return self.deformable_decoder(x_latent, code_decoder_output, mid_feat)

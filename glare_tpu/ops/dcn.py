@@ -1,0 +1,200 @@
+"""Modulated deformable convolution (DCNv2) — TPU-native.
+
+This replaces the reference's CUDA extension
+(``code/models/modules/ops/dcn/src/deform_conv_cuda_kernel.cu:191+``:
+``modulated_deformable_im2col_gpu_kernel`` and its col2im / col2im_coord
+backward kernels). Exported op parity:
+
+  * :func:`modulated_deform_conv`  (v2: offsets + sigmoid mask) — the op
+    GLARE's AFT decoder uses (DCNv2Pack, deformable_groups=4, 3x3, pad 1).
+  * :func:`deform_conv`            (v1: offsets only).
+
+Formulation: bilinear *im2col via XLA row-gathers* + one MXU GEMM, the
+TPU-shaped equivalent of the CUDA im2col+GEMM driver
+(``deform_conv_cuda.cpp:490-570``). All channels of a deformable group share
+a sampling position, so each gather fetches a contiguous [C/G]-channel row —
+a lane-aligned, bandwidth-friendly gather. The backward pass (autodiff)
+yields exactly the scatter-add / coordinate-gradient math of
+``deformable_col2im(_coord)`` for free.
+
+Out-of-range handling matches the CUDA kernel: a sample whose position
+falls outside (-1, H) x (-1, W) contributes zero; border samples use
+partial bilinear weights (zero padding semantics).
+
+Layouts (native, NHWC):
+  x      [B, H, W, C]
+  offset [B, H, W, G, K, 2]   (dy, dx) per deformable group g, tap k
+  mask   [B, H, W, G, K]      (already sigmoid-ed by the caller)
+  weight [kh, kw, C, O]       (HWIO)
+  out    [B, Ho, Wo, O]
+
+The torch checkpoint layout (offset channels = cat(o1, o2) then interleaved
+per group, deform_conv.py:362-370) maps onto this via a fixed channel
+permutation handled by the weight converter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(x_groups, py, px, H, W):
+    """Sample grouped channels at fractional positions.
+
+    x_groups: [B, H*W, G, Cg]
+    py, px:   [B, P, G, K] fractional sample positions (output-pixel major)
+    returns:  [B, P, K, G, Cg]
+    """
+    B, HW, G, Cg = x_groups.shape
+    P, K = py.shape[1], py.shape[3]
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy1 = py - y0  # weight of y0+1
+    wx1 = px - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+
+    # CUDA-kernel semantics: positions outside (-1, H) x (-1, W) -> zero
+    in_range = (py > -1.0) & (py < H) & (px > -1.0) & (px < W)
+
+    def corner(yi, xi, wgt):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W) & in_range
+        lin = jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W + jnp.clip(
+            xi, 0, W - 1
+        ).astype(jnp.int32)
+        # [B, P, G, K] -> [B, P*K, G] index, gathered over token axis
+        idx = lin.transpose(0, 1, 3, 2).reshape(B, P * K, G)
+        vals = jnp.take_along_axis(x_groups, idx[..., None], axis=1)  # [B,P*K,G,Cg]
+        w = (wgt * valid.astype(wgt.dtype)).transpose(0, 1, 3, 2).reshape(B, P * K, G)
+        return vals * w[..., None].astype(vals.dtype)
+
+    out = corner(y0, x0, wy0 * wx0)
+    out = out + corner(y0, x0 + 1, wy0 * wx1)
+    out = out + corner(y0 + 1, x0, wy1 * wx0)
+    out = out + corner(y0 + 1, x0 + 1, wy1 * wx1)
+    return out.reshape(B, P, K, G, Cg)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+def modulated_deform_conv(
+    x, offset, mask, weight, bias=None, stride=1, padding=1, dilation=1
+):
+    """DCNv2 forward. See module docstring for layouts."""
+    B, H, W, C = x.shape
+    kh, kw, wc, O = weight.shape
+    assert wc == C, (weight.shape, x.shape)
+    G = offset.shape[3]
+    K = kh * kw
+    assert offset.shape == (B, H, W, G, K, 2), offset.shape
+    assert mask.shape == (B, H, W, G, K), mask.shape
+    assert C % G == 0
+    Cg = C // G
+
+    Ho = (H + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    Wo = (W + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+
+    # base sampling grid per output pixel and tap
+    hh = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
+    ww = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
+    ky, kx = jnp.meshgrid(
+        jnp.arange(kh, dtype=jnp.float32) * dilation,
+        jnp.arange(kw, dtype=jnp.float32) * dilation,
+        indexing="ij",
+    )
+    ky = ky.reshape(K)
+    kx = kx.reshape(K)
+
+    off = offset.astype(jnp.float32)
+    if stride != 1:
+        off = off[:, ::stride, ::stride]
+        mask = mask[:, ::stride, ::stride]
+    off = off.reshape(B, Ho * Wo, G, K, 2)
+    m = mask.reshape(B, Ho * Wo, G, K)
+
+    base_y = (hh[:, None] + ky[None, :]).reshape(Ho, 1, K) + jnp.zeros((1, Wo, 1))
+    base_x = (ww[:, None] + kx[None, :]).reshape(1, Wo, K) + jnp.zeros((Ho, 1, 1))
+    base_y = base_y.reshape(1, Ho * Wo, 1, K)
+    base_x = base_x.reshape(1, Ho * Wo, 1, K)
+
+    py = base_y + off[..., 0]  # [B, P, G, K]
+    px = base_x + off[..., 1]
+
+    x_groups = x.reshape(B, H * W, G, Cg)
+    sampled = _bilinear_gather(x_groups, py, px, H, W)  # [B, P, K, G, Cg]
+    sampled = sampled * m.transpose(0, 1, 3, 2)[..., None].astype(sampled.dtype)
+
+    w = weight.reshape(K, G, Cg, O)
+    out = jnp.einsum(
+        "bpkgc,kgco->bpo", sampled, w.astype(sampled.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(B, Ho, Wo, O)
+
+
+def deform_conv(x, offset, weight, bias=None, stride=1, padding=1, dilation=1):
+    """DCNv1 (no modulation): mask == 1 everywhere
+    (reference: deform_conv_cuda.cpp:152 deform_conv_forward_cuda)."""
+    B, H, W, _ = x.shape
+    G, K = offset.shape[3], offset.shape[4]
+    mask = jnp.ones((B, H, W, G, K), x.dtype)
+    return modulated_deform_conv(
+        x, offset, mask, weight, bias, stride=stride, padding=padding, dilation=dilation
+    )
+
+
+def modulated_deform_conv_naive(x, offset, mask, weight, bias=None, padding=1):
+    """O(everything) numpy-style oracle for tests: direct per-pixel loops.
+    Mirrors the CUDA kernel math literally. Small inputs only."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    offset = np.asarray(offset, np.float64)
+    mask = np.asarray(mask, np.float64)
+    weight = np.asarray(weight, np.float64)
+    B, H, W, C = x.shape
+    kh, kw, _, O = weight.shape
+    G = offset.shape[3]
+    Cg = C // G
+    out = np.zeros((B, H, W, O))
+
+    def sample(b, py, px, c):
+        if py <= -1 or py >= H or px <= -1 or px >= W:
+            return 0.0
+        y0, x0 = int(np.floor(py)), int(np.floor(px))
+        v = 0.0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yy, xx = y0 + dy, x0 + dx
+                if 0 <= yy < H and 0 <= xx < W:
+                    wy = 1 - abs(py - yy)
+                    wx = 1 - abs(px - xx)
+                    v += wy * wx * x[b, yy, xx, c]
+        return v
+
+    for b in range(B):
+        for h in range(H):
+            for w_ in range(W):
+                for o in range(O):
+                    acc = 0.0
+                    for i in range(kh):
+                        for j in range(kw):
+                            k = i * kw + j
+                            for c in range(C):
+                                g = c // Cg
+                                py = h - padding + i + offset[b, h, w_, g, k, 0]
+                                px = w_ - padding + j + offset[b, h, w_, g, k, 1]
+                                acc += (
+                                    sample(b, py, px, c)
+                                    * mask[b, h, w_, g, k]
+                                    * weight[i, j, c, o]
+                                )
+                    out[b, h, w_, o] = acc
+    if bias is not None:
+        out = out + np.asarray(bias, np.float64)
+    return out

@@ -1,0 +1,135 @@
+"""Modulated deformable conv oracle tests (SURVEY.md §4 oracle (c)):
+XLA implementation vs a literal per-pixel numpy port of the CUDA kernel
+math, plus identity/zero-offset reductions and gradient checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glare_tpu.ops.dcn import (
+    deform_conv,
+    modulated_deform_conv,
+    modulated_deform_conv_naive,
+)
+
+
+def make_inputs(seed=0, B=1, H=5, W=6, C=4, O=3, G=2, off_scale=1.5):
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    offset = (off_scale * rng.standard_normal((B, H, W, G, 9, 2))).astype(np.float32)
+    mask = rng.uniform(0.0, 1.0, (B, H, W, G, 9)).astype(np.float32)
+    weight = rng.standard_normal((3, 3, C, O)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((O,)).astype(np.float32)
+    return x, offset, mask, weight, bias
+
+
+class TestModulatedDeformConv:
+    def test_matches_naive_oracle(self):
+        x, offset, mask, weight, bias = make_inputs()
+        got = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias),
+        )
+        want = modulated_deform_conv_naive(x, offset, mask, weight, bias)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    def test_large_offsets_out_of_range_are_zero(self):
+        x, offset, mask, weight, bias = make_inputs(off_scale=50.0)
+        got = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias),
+        )
+        want = modulated_deform_conv_naive(x, offset, mask, weight, bias)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    def test_zero_offset_unit_mask_equals_conv(self):
+        """offset=0, mask=1 must reduce to a plain 3x3 conv."""
+        rng = np.random.RandomState(3)
+        x = rng.standard_normal((2, 6, 7, 4)).astype(np.float32)
+        weight = rng.standard_normal((3, 3, 4, 5)).astype(np.float32)
+        offset = np.zeros((2, 6, 7, 2, 9, 2), np.float32)
+        mask = np.ones((2, 6, 7, 2, 9), np.float32)
+        got = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(weight)
+        )
+        want = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(weight), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_integer_offset_is_shift(self):
+        """A constant integer offset samples the shifted image exactly."""
+        rng = np.random.RandomState(4)
+        x = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+        # 1x1 kernel, single tap, shift by (+2, +1)
+        weight = np.zeros((1, 1, 2, 2), np.float32)
+        weight[0, 0, 0, 0] = 1.0
+        weight[0, 0, 1, 1] = 1.0
+        offset = np.zeros((1, 8, 8, 1, 1, 2), np.float32)
+        offset[..., 0] = 2.0
+        offset[..., 1] = 1.0
+        mask = np.ones((1, 8, 8, 1, 1), np.float32)
+        got = np.asarray(
+            modulated_deform_conv(
+                jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(weight), padding=0,
+            )
+        )
+        np.testing.assert_allclose(got[0, :6, :7], x[0, 2:, 1:], atol=1e-5)
+        # out-of-range tail is zero
+        assert np.abs(got[0, 6:, :]).max() == 0
+
+    def test_gradients_flow_to_all_inputs(self):
+        x, offset, mask, weight, bias = make_inputs(B=1, H=4, W=4)
+
+        def loss(x, offset, mask, weight, bias):
+            out = modulated_deform_conv(x, offset, mask, weight, bias)
+            return jnp.sum(out ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias),
+        )
+        for g, name in zip(grads, ["x", "offset", "mask", "weight", "bias"]):
+            assert np.isfinite(np.asarray(g)).all(), name
+            assert float(jnp.abs(g).max()) > 0, f"zero grad for {name}"
+
+    def test_offset_gradient_numerically(self):
+        """Finite-difference check of d out / d offset (col2im_coord parity)."""
+        x, offset, mask, weight, bias = make_inputs(B=1, H=4, W=4, off_scale=0.2)
+        # keep sample positions away from the integer lattice, where the
+        # bilinear gradient is discontinuous and FD is invalid
+        offset = offset + 0.5
+
+        def loss(off):
+            out = modulated_deform_conv(
+                jnp.asarray(x), off, jnp.asarray(mask), jnp.asarray(weight)
+            )
+            return jnp.sum(out * out)
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(offset)))
+        eps = 1e-3
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            i = tuple(rng.randint(s) for s in offset.shape)
+            op = offset.copy()
+            op[i] += eps
+            om = offset.copy()
+            om[i] -= eps
+            fd = (float(loss(jnp.asarray(op))) - float(loss(jnp.asarray(om)))) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=2e-3)
+
+
+class TestDeformConvV1:
+    def test_matches_modulated_with_unit_mask(self):
+        x, offset, _, weight, bias = make_inputs()
+        got = deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight), jnp.asarray(bias)
+        )
+        mask = np.ones(offset.shape[:-1], np.float32)
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

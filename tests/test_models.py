@@ -1,0 +1,128 @@
+"""End-to-end shape/compose tests for VQGAN, condition encoder, and the
+stage-2/stage-3 flagship networks (real channel config, tiny spatial dims)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glare_tpu.modules.vqmodel import VQModel
+from glare_tpu.modules.condition_encoder import ConEncoder1
+from glare_tpu.modules.llflow_vqgan2 import LLFlowVQGAN2
+from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
+
+
+S = 32  # input image side; latent is S/4
+
+
+@pytest.fixture(scope="module")
+def vq_setup():
+    model = VQModel(vq_backend="ref")
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, S, S, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    return model, params, x
+
+
+class TestVQModel:
+    def test_encode_decode_shapes(self, vq_setup):
+        model, params, x = vq_setup
+        h, _ = model.apply(params, x, method=model.encode)
+        assert h.shape == (1, S // 4, S // 4, 3)
+        dec, emb_loss, code_out = model.apply(params, h, method=model.decode)
+        assert dec.shape == (1, S, S, 3)
+        assert len(code_out) == 2
+        assert code_out[0].shape == (1, S // 2, S // 2, 256)
+        assert code_out[1].shape == (1, S, S, 128)
+        assert np.isfinite(np.asarray(dec)).all()
+
+    def test_full_call(self, vq_setup):
+        model, params, x = vq_setup
+        dec, diff = model.apply(params, x)
+        assert dec.shape == x.shape
+        assert float(diff) >= 0
+
+
+class TestConEncoder:
+    def test_outputs(self):
+        m = ConEncoder1()
+        lr = jax.random.uniform(jax.random.PRNGKey(0), (1, S, S, 3))
+        params = m.init(jax.random.PRNGKey(1), lr, mid_feat=True)
+        out = m.apply(params, lr, mid_feat=True)
+        assert out["cond_feat"].shape == (1, S // 4, S // 4, 64)
+        assert out["color_map"].shape == (1, S // 4, S // 4, 3)
+        assert out["cond_feat"].min() >= 0 and out["cond_feat"].max() <= 1  # sigmoid
+        assert out["mid_feat"][0].shape == (1, S, S, 128)
+        assert out["mid_feat"][1].shape == (1, S // 2, S // 2, 256)
+
+
+class TestLLFlowVQGAN2:
+    def test_normal_and_reverse(self):
+        net = LLFlowVQGAN2(K=2)  # small K for CPU speed
+        lr = jax.random.uniform(jax.random.PRNGKey(0), (1, S, S, 3))
+        gt_latent = jax.random.normal(jax.random.PRNGKey(1), (1, S // 4, S // 4, 3))
+        params = net.init(
+            jax.random.PRNGKey(2), gt_latent, lr, method=LLFlowVQGAN2.normal_flow
+        )
+        z, nll, logdet = net.apply(params, gt_latent, lr, method=LLFlowVQGAN2.normal_flow)
+        assert z.shape == gt_latent.shape
+        assert nll.shape == (1,)
+        assert np.isfinite(float(nll[0]))
+        x, _ = net.apply(params, lr, method=LLFlowVQGAN2.reverse_flow)
+        assert x.shape == gt_latent.shape
+
+    def test_flow_consistency_normal_then_reverse_of_colormap(self):
+        """decode(encode(gt)) == gt through the full conditional flow."""
+        net = LLFlowVQGAN2(K=2)
+        lr = jax.random.uniform(jax.random.PRNGKey(0), (1, S, S, 3))
+        gt_latent = jax.random.normal(jax.random.PRNGKey(1), (1, S // 4, S // 4, 3))
+        params = net.init(
+            jax.random.PRNGKey(2), gt_latent, lr, method=LLFlowVQGAN2.normal_flow
+        )
+
+        def encdec(p, g, l):
+            lr_enc = net.apply(p, l, method=LLFlowVQGAN2.encode_cond)
+            z, _, _ = net.apply(p, g, l, lr_enc=lr_enc, method=LLFlowVQGAN2.normal_flow)
+            # decode from that z (not from color_map): use flow decode directly
+            return z, lr_enc
+
+        z, lr_enc = encdec(params, gt_latent, lr)
+        # invert via the flow net bound inside
+        x, _ = net.apply(
+            params,
+            z,
+            lr_enc,
+            method=lambda m, z, c: m.flowUpsamplerNet.decode(z, c, logdet=None),
+        )
+        np.testing.assert_allclose(np.asarray(x), np.asarray(gt_latent), atol=2e-4)
+
+
+class TestVQLLFLOWDeformableCompose:
+    def test_full_stage3_pipeline(self):
+        netG = VQLLFLOWDeformable(K=2)
+        vq = VQModel(vq_backend="ref")
+        lr = jax.random.uniform(jax.random.PRNGKey(0), (1, S, S, 3))
+
+        vq_params = vq.init(jax.random.PRNGKey(1), lr)
+
+        # init netG via the two halves
+        latent_shape = (1, S // 4, S // 4, 3)
+        params = netG.init(jax.random.PRNGKey(2), lr, method=VQLLFLOWDeformable.latent_half)
+        x, lr_enc = netG.apply(params, lr, method=VQLLFLOWDeformable.latent_half)
+        assert x.shape == latent_shape
+
+        rec, _, code_out = vq.apply(vq_params, x, method=vq.decode)
+        assert rec.shape == (1, S, S, 3)
+
+        aft_params = netG.init(
+            jax.random.PRNGKey(3), x, code_out, lr_enc["mid_feat"],
+            method=VQLLFLOWDeformable.aft_half,
+        )
+        # merge param trees (deformable_decoder comes from the aft init)
+        merged = {
+            "params": {**params["params"], **aft_params["params"]}
+        }
+        out = netG.apply(
+            merged, x, code_out, lr_enc["mid_feat"], method=VQLLFLOWDeformable.aft_half
+        )
+        assert out.shape == (1, S, S, 3)
+        assert np.isfinite(np.asarray(out)).all()

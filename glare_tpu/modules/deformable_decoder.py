@@ -147,11 +147,15 @@ class MultiScaleDecoder2(nn.Module):
                     h = AttnBlock(dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
 
             if i_level != 2:
-                h = h.astype(jnp.float32)
-                x_code = code_decoder_output[1 - i_level].astype(jnp.float32)
+                # the reference forces f32 here because its CUDA DCN ext has
+                # no half kernels (deformableDecoder_arch.py:548-551); the
+                # TPU op is dtype-generic so we stay in the compute dtype
+                wdt = self.dtype or jnp.float32
+                h = h.astype(wdt)
+                x_code = code_decoder_output[1 - i_level].astype(wdt)
                 h = Mix(
                     m=-1.0 if i_level == 1 else -0.6, name=f"mix_{1 - i_level}"
-                )(enc_feat[i_level].astype(jnp.float32), h)
+                )(enc_feat[i_level].astype(wdt), h)
                 x_vq = WarpBlock(dtype=self.dtype, name=f"warp_{1 - i_level}")(x_code, h)
                 h = h + x_vq * (jnp.mean(h) / jnp.mean(x_vq))
 

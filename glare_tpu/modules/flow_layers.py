@@ -100,11 +100,42 @@ def _qr_init(key, shape, dtype=jnp.float32):
     return q.astype(dtype)
 
 
+def _det_and_inv(w):
+    """Closed-form determinant and inverse for the tiny channel-mixing
+    matrices the flow uses (C<=3). Avoids jnp.linalg's general LU lowering,
+    which bloats the HLO 28x across the unrolled flow steps on TPU."""
+    c = w.shape[0]
+    if c == 1:
+        det = w[0, 0]
+        inv = (1.0 / det)[None, None]
+        return det, inv
+    if c == 2:
+        det = w[0, 0] * w[1, 1] - w[0, 1] * w[1, 0]
+        inv = jnp.array([[w[1, 1], -w[0, 1]], [-w[1, 0], w[0, 0]]]) / det
+        return det, inv
+    if c == 3:
+        cof00 = w[1, 1] * w[2, 2] - w[1, 2] * w[2, 1]
+        cof01 = w[1, 2] * w[2, 0] - w[1, 0] * w[2, 2]
+        cof02 = w[1, 0] * w[2, 1] - w[1, 1] * w[2, 0]
+        det = w[0, 0] * cof00 + w[0, 1] * cof01 + w[0, 2] * cof02
+        adj = jnp.array(
+            [
+                [cof00, w[0, 2] * w[2, 1] - w[0, 1] * w[2, 2], w[0, 1] * w[1, 2] - w[0, 2] * w[1, 1]],
+                [cof01, w[0, 0] * w[2, 2] - w[0, 2] * w[2, 0], w[0, 2] * w[1, 0] - w[0, 0] * w[1, 2]],
+                [cof02, w[0, 1] * w[2, 0] - w[0, 0] * w[2, 1], w[0, 0] * w[1, 1] - w[0, 1] * w[1, 0]],
+            ]
+        )
+        return det, adj / det
+    det = jnp.linalg.det(w)
+    return det, jnp.linalg.inv(w)
+
+
 class InvertibleConv1x1(nn.Module):
     """1x1 invertible channel-mixing conv (reference: Permutations.py:12-59).
 
-    logdet = slogdet(W)[1] * pixels. Reverse applies W^{-1} (f32; the
-    reference's float64 inverse is unnecessary at C=3).
+    logdet = log|det W| * pixels. Reverse applies W^{-1} (closed-form f32
+    adjugate at C<=3; the reference's float64 inverse + slogdet-retry hacks
+    are unnecessary at this size).
     """
 
     num_channels: int
@@ -113,15 +144,15 @@ class InvertibleConv1x1(nn.Module):
     def __call__(self, x, logdet=None, reverse=False):
         w = self.param("weight", _qr_init, (self.num_channels, self.num_channels))
         w32 = w.astype(jnp.float32)
-        dlogdet = jnp.linalg.slogdet(w32)[1] * pixels(x)
+        det, w_inv = _det_and_inv(w32)
+        dlogdet = jnp.log(jnp.abs(det)) * pixels(x)
         if not reverse:
             # torch: out[o] = sum_i W[o, i] * in[i]
             z = jnp.einsum("bhwi,oi->bhwo", x, w.astype(x.dtype))
             if logdet is not None:
                 logdet = logdet + dlogdet
         else:
-            w_inv = jnp.linalg.inv(w32).astype(x.dtype)
-            z = jnp.einsum("bhwi,oi->bhwo", x, w_inv)
+            z = jnp.einsum("bhwi,oi->bhwo", x, w_inv.astype(x.dtype))
             if logdet is not None:
                 logdet = logdet - dlogdet
         return z, logdet

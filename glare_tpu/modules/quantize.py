@@ -98,14 +98,17 @@ class WeightedVectorQuantizer(nn.Module):
     beta: float = 0.25
     weight_alpha: float = 1.0
     use_weight: bool = True
-    legacy: bool = True
+    LQ_stage: bool = False
 
-    @nn.compact
-    def __call__(self, z, gt_indices=None, current_iter=None):
-        embedding = self.param(
+    def setup(self):
+        self.embedding = self.param(
             "embedding", _uniform_embed_init(self.n_e), (self.n_e, self.e_dim)
         )
-        weight = self.param("weight", nn.initializers.zeros, (self.n_e, 1))
+        self.weight = self.param("weight", nn.initializers.zeros, (self.n_e,))
+
+    def __call__(self, z, gt_indices=None, weight_alpha=None):
+        embedding = self.embedding
+        weight = self.weight
 
         b, h, w, c = z.shape
         z_flat = z.reshape(-1, self.e_dim).astype(jnp.float32)
@@ -116,28 +119,38 @@ class WeightedVectorQuantizer(nn.Module):
             + jnp.sum(emb32 ** 2, axis=1)[None, :]
             - 2.0 * jnp.dot(z_flat, emb32.T, preferred_element_type=jnp.float32)
         )
-        if self.use_weight:
-            d = d * jnp.exp(self.weight_alpha * weight[:, 0])[None, :]
+        if self.use_weight and self.LQ_stage:
+            alpha = self.weight_alpha if weight_alpha is None else weight_alpha
+            d = d * jnp.exp(alpha * jax.lax.stop_gradient(weight))[None, :]
         idx = jnp.argmin(jax.lax.stop_gradient(d), axis=1).astype(jnp.int32)
         z_q = jnp.take(embedding, idx, axis=0).reshape(z.shape).astype(z.dtype)
 
         zf = z.astype(jnp.float32)
         zqf = z_q.astype(jnp.float32)
 
-        codebook_loss = jnp.mean((zqf - jax.lax.stop_gradient(zf)) ** 2) + self.beta * jnp.mean(
-            (jax.lax.stop_gradient(zqf) - zf) ** 2
-        )
-        texture_loss = jnp.asarray(0.0, jnp.float32)
-        if gt_indices is not None:
+        if self.LQ_stage and gt_indices is not None:
+            # LQ stage supervised by GT indices (dehaze_vq_weight_arch.py:120-131):
+            # codebook = beta * |sg(z_q_gt) - z|^2 + gram(z, sg(z_q_gt))
             z_q_gt = jnp.take(embedding, gt_indices.reshape(-1), axis=0).reshape(z.shape)
-            zqgt = z_q_gt.astype(jnp.float32)
-            codebook_loss = codebook_loss + jnp.mean(
-                (zqgt - jax.lax.stop_gradient(zf)) ** 2
-            ) + self.beta * jnp.mean((jax.lax.stop_gradient(zqgt) - zf) ** 2)
-            texture_loss = _gram_loss(zf, zqgt)
+            zqgt = jax.lax.stop_gradient(z_q_gt.astype(jnp.float32))
+            codebook_loss = self.beta * jnp.mean((zqgt - zf) ** 2)
+            codebook_loss = codebook_loss + _gram_loss(zf, zqgt)
+        else:
+            # HQ stage: q_latent + beta * e_latent (dehaze_vq_weight_arch.py:133)
+            codebook_loss = jnp.mean(
+                (zqf - jax.lax.stop_gradient(zf)) ** 2
+            ) + self.beta * jnp.mean((jax.lax.stop_gradient(zqf) - zf) ** 2)
 
         z_q = z + jax.lax.stop_gradient(z_q - z)
-        return z_q, codebook_loss, texture_loss, idx.reshape(b, h, w)
+        return z_q, codebook_loss, idx.reshape(b, h, w)
+
+    def embed(self, indices, shape=None):
+        """Bound codebook lookup (reference: get_codebook_entry,
+        dehaze_vq_weight_arch.py:146-156)."""
+        z_q = jnp.take(self.embedding, indices.reshape(-1), axis=0)
+        if shape is not None:
+            z_q = z_q.reshape(shape)
+        return z_q
 
 
 def _gram_loss(x, y):

@@ -169,12 +169,16 @@ class AttnBlock(nn.Module):
     """Single-head full spatial self-attention with 1x1 qkv convs
     (reference: encoder_decoder.py:140-192).
 
-    Softmax and the attention matmuls accumulate in f32. Spatial dims are
-    flattened to tokens; safe for the latent resolutions GLARE uses
-    (<= ~20k tokens at 600x400 inputs).
+    Softmax and the attention matmuls accumulate in f32. Beyond
+    `chunk_threshold` tokens the query axis is processed in chunks
+    (lax.map) so the [n, n] attention matrix never fully materializes —
+    at 600x400 protocol inputs the latent has ~16k tokens and a dense
+    f32 matrix costs ~1 GB per block, which collapses batched throughput.
     """
 
     dtype: Dtype = None
+    chunk_threshold: int = 8192
+    q_chunk: int = 2048
 
     @nn.compact
     def __call__(self, x):
@@ -184,16 +188,37 @@ class AttnBlock(nn.Module):
         k = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="k")(h_)
         v = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="v")(h_)
 
-        q = q.reshape(b, h * w, c)
-        k = k.reshape(b, h * w, c)
-        v = v.reshape(b, h * w, c)
+        n = h * w
+        q = q.reshape(b, n, c)
+        k = k.reshape(b, n, c)
+        v = v.reshape(b, n, c)
+        scale = int(c) ** -0.5
 
-        attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        attn = attn * (int(c) ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bqk,bkc->bqc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        if n <= self.chunk_threshold:
+            attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn * scale, axis=-1)
+            out = jnp.einsum(
+                "bqk,bkc->bqc", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        else:
+            qc = self.q_chunk
+            pad = (-n) % qc
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+            n_chunks = qp.shape[1] // qc
+            qp = qp.reshape(b, n_chunks, qc, c).transpose(1, 0, 2, 3)
+
+            def one_chunk(q_blk):
+                a = jnp.einsum("bqc,bkc->bqk", q_blk, k, preferred_element_type=jnp.float32)
+                a = jax.nn.softmax(a * scale, axis=-1)
+                return jnp.einsum(
+                    "bqk,bkc->bqc", a.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+
+            out = jax.lax.map(one_chunk, qp)  # [n_chunks, b, qc, c]
+            out = out.transpose(1, 0, 2, 3).reshape(b, n_chunks * qc, c)[:, :n]
+
         out = out.reshape(b, h, w, c)
         out = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="proj_out")(out)
         return x + out

@@ -79,11 +79,21 @@ def _bilinear_gather(x_groups, py, px, H, W):
     return out.reshape(B, P, K, G, Cg)
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+@functools.partial(
+    jax.jit, static_argnames=("stride", "padding", "dilation", "pixels_per_chunk")
+)
 def modulated_deform_conv(
-    x, offset, mask, weight, bias=None, stride=1, padding=1, dilation=1
+    x, offset, mask, weight, bias=None, stride=1, padding=1, dilation=1,
+    pixels_per_chunk=16384,
 ):
-    """DCNv2 forward. See module docstring for layouts."""
+    """DCNv2 forward. See module docstring for layouts.
+
+    The bilinear im2col buffer is [P, K, C] — at full image resolution that
+    is GBs — so output pixels are processed in chunks of `pixels_per_chunk`
+    via lax.map (the TPU analogue of the CUDA driver's per-batch im2col
+    staging, deform_conv_cuda.cpp:522-545), bounding live memory to one
+    chunk's gather + one MXU GEMM.
+    """
     B, H, W, C = x.shape
     kh, kw, wc, O = weight.shape
     assert wc == C, (weight.shape, x.shape)
@@ -96,6 +106,7 @@ def modulated_deform_conv(
 
     Ho = (H + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
     Wo = (W + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    P = Ho * Wo
 
     # base sampling grid per output pixel and tap
     hh = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
@@ -112,26 +123,44 @@ def modulated_deform_conv(
     if stride != 1:
         off = off[:, ::stride, ::stride]
         mask = mask[:, ::stride, ::stride]
-    off = off.reshape(B, Ho * Wo, G, K, 2)
-    m = mask.reshape(B, Ho * Wo, G, K)
+    off = off.reshape(B, P, G, K, 2)
+    m = mask.reshape(B, P, G, K)
 
     base_y = (hh[:, None] + ky[None, :]).reshape(Ho, 1, K) + jnp.zeros((1, Wo, 1))
     base_x = (ww[:, None] + kx[None, :]).reshape(1, Wo, K) + jnp.zeros((Ho, 1, 1))
-    base_y = base_y.reshape(1, Ho * Wo, 1, K)
-    base_x = base_x.reshape(1, Ho * Wo, 1, K)
+    base_y = base_y.reshape(1, P, 1, K)
+    base_x = base_x.reshape(1, P, 1, K)
 
     py = base_y + off[..., 0]  # [B, P, G, K]
     px = base_x + off[..., 1]
 
     x_groups = x.reshape(B, H * W, G, Cg)
-    sampled = _bilinear_gather(x_groups, py, px, H, W)  # [B, P, K, G, Cg]
-    sampled = sampled * m.transpose(0, 1, 3, 2)[..., None].astype(sampled.dtype)
+    w = weight.reshape(K, G, Cg, O).astype(x.dtype)
 
-    w = weight.reshape(K, G, Cg, O)
-    out = jnp.einsum(
-        "bpkgc,kgco->bpo", sampled, w.astype(sampled.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    def compute(py_c, px_c, m_c):
+        sampled = _bilinear_gather(x_groups, py_c, px_c, H, W)  # [B, p, K, G, Cg]
+        sampled = sampled * m_c.transpose(0, 1, 3, 2)[..., None].astype(sampled.dtype)
+        return jnp.einsum(
+            "bpkgc,kgco->bpo", sampled, w, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+    if P <= pixels_per_chunk:
+        out = compute(py, px, m)
+    else:
+        chunk = pixels_per_chunk
+        n_chunks = -(-P // chunk)
+        pad = n_chunks * chunk - P
+
+        def to_chunks(a):
+            a = jnp.pad(a, [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2))
+            a = a.reshape((B, n_chunks, chunk) + a.shape[2:])
+            return jnp.moveaxis(a, 1, 0)  # [n_chunks, B, chunk, ...]
+
+        outs = jax.lax.map(
+            lambda args: compute(*args), (to_chunks(py), to_chunks(px), to_chunks(m))
+        )  # [n_chunks, B, chunk, O]
+        out = jnp.moveaxis(outs, 0, 1).reshape(B, n_chunks * chunk, O)[:, :P]
+
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(B, Ho, Wo, O)

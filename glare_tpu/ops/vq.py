@@ -30,6 +30,7 @@ def nearest_code_ref(z_flat, codebook):
         z_flat.astype(jnp.float32),
         codebook.astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
@@ -38,15 +39,22 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _vq_kernel(z_ref, e_ref, idx_ref, min_ref, arg_ref, *, block_k, num_k):
+def _vq_kernel(z_ref, w_ref, idx_ref, min_ref, arg_ref, *, block_k, num_k):
     """Grid (token_tiles, code_tiles); code dim iterates fastest.
 
-    z_ref:   [TN, Dp]  token tile (VMEM)
-    e_ref:   [TK, Dp]  codebook tile (VMEM)
-    idx_ref: [1, TN]   output indices for this token tile
-    min_ref: [1, TN]   running min distance (scratch)
-    arg_ref: [1, TN]   running argmin (scratch)
+    The distance (up to the argmin-invariant |z|^2 term) is folded into ONE
+    MXU matmul via an augmented-ones column: z' = [z, 1], w_k = [-2 e_k,
+    |e_k|^2], so d = z' @ w^T. (Computing |e|^2 in-kernel forces a
+    lane->sublane relayout that stalls the Mosaic compiler.)
+
+    z_ref:   [TN, Dp]        augmented token tile (VMEM)
+    w_ref:   [TK, Dp]        augmented codebook tile (VMEM)
+    idx_ref: [num_n, TN]     full output array (VMEM); row i written at the
+                             last code tile (TPU tiling forbids (1, TN) blocks)
+    min_ref: [1, TN]         running min distance (scratch)
+    arg_ref: [1, TN]         running argmin (scratch)
     """
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -54,15 +62,13 @@ def _vq_kernel(z_ref, e_ref, idx_ref, min_ref, arg_ref, *, block_k, num_k):
         min_ref[...] = jnp.full_like(min_ref, jnp.inf)
         arg_ref[...] = jnp.zeros_like(arg_ref)
 
-    z = z_ref[...].astype(jnp.float32)
-    e = e_ref[...].astype(jnp.float32)
-    # |z - e|^2 up to the constant |z|^2 (monotone in argmin)
-    e2 = jnp.sum(e * e, axis=1)  # [TK]
-    zet = jax.lax.dot_general(
-        z, e, dimension_numbers=(((1,), (1,)), ((), ())),
+    d = jax.lax.dot_general(
+        z_ref[...].astype(jnp.float32),
+        w_ref[...].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [TN, TK]
-    d = e2[None, :] - 2.0 * zet
 
     tile_min = jnp.min(d, axis=1)  # [TN]
     tk = d.shape[1]
@@ -78,7 +84,7 @@ def _vq_kernel(z_ref, e_ref, idx_ref, min_ref, arg_ref, *, block_k, num_k):
 
     @pl.when(j == num_k - 1)
     def _():
-        idx_ref[0, :] = arg_ref[0, :]
+        idx_ref[i, :] = arg_ref[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
@@ -91,12 +97,17 @@ def nearest_code_pallas(z_flat, codebook, block_n=512, block_k=2048):
     n, d = z_flat.shape
     k, d2 = codebook.shape
     assert d == d2, (z_flat.shape, codebook.shape)
-    dp = max(_round_up(d, 128), 128)
+    dp = max(_round_up(d + 1, 128), 128)
     np_ = _round_up(n, block_n)
     assert k % block_k == 0, (k, block_k)
 
-    z_p = jnp.zeros((np_, dp), z_flat.dtype).at[:n, :d].set(z_flat)
-    e_p = jnp.zeros((k, dp), codebook.dtype).at[:, :d].set(codebook)
+    # augmented forms: z' = [z, 1, 0...], w = [-2e, |e|^2, 0...]
+    zf = z_flat.astype(jnp.float32)
+    ef = codebook.astype(jnp.float32)
+    z_p = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(zf)
+    z_p = z_p.at[:n, d].set(1.0)
+    e_p = jnp.zeros((k, dp), jnp.float32).at[:, :d].set(-2.0 * ef)
+    e_p = e_p.at[:, d].set(jnp.sum(ef * ef, axis=1))
 
     num_n = np_ // block_n
     num_k = k // block_k
@@ -108,7 +119,7 @@ def nearest_code_pallas(z_flat, codebook, block_n=512, block_k=2048):
             pl.BlockSpec((block_n, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_n, block_n), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((1, block_n), jnp.float32),

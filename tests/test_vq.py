@@ -87,18 +87,36 @@ class TestVectorQuantizer2:
 
 
 class TestWeightedVQ:
-    def test_weight_changes_selection(self):
+    def test_hq_stage_loss(self):
         m = WeightedVectorQuantizer(n_e=16, e_dim=3, weight_alpha=10.0)
         z = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 3))
         params = m.init(jax.random.PRNGKey(1), z)
-        z_q, cb_loss, tex_loss, idx = m.apply(params, z)
+        z_q, cb_loss, idx = m.apply(params, z)
         assert idx.shape == (1, 2, 2)
         assert float(cb_loss) >= 0
 
-    def test_gt_indices_adds_texture_loss(self):
-        m = WeightedVectorQuantizer(n_e=16, e_dim=3)
+    def test_lq_stage_gt_indices_supervision(self):
+        m = WeightedVectorQuantizer(n_e=16, e_dim=3, LQ_stage=True)
         z = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 3))
         params = m.init(jax.random.PRNGKey(1), z)
         gt_idx = jnp.zeros((1, 2, 2), jnp.int32)
-        _, _, tex_loss, _ = m.apply(params, z, gt_indices=gt_idx)
-        assert float(tex_loss) > 0
+        _, cb_loss, _ = m.apply(params, z, gt_indices=gt_idx)
+        assert float(cb_loss) > 0
+
+    def test_weight_reweights_distances(self):
+        """A huge positive weight on the nearest code pushes selection away."""
+        import numpy as np
+
+        m = WeightedVectorQuantizer(n_e=4, e_dim=3, LQ_stage=True, weight_alpha=1.0)
+        z = jnp.ones((1, 1, 1, 3)) * 0.48
+        params = m.init(jax.random.PRNGKey(1), z)
+        emb = jnp.asarray(
+            [[0.5, 0.5, 0.5], [0.4, 0.4, 0.4], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
+        )
+        p = {"params": {"embedding": emb, "weight": jnp.zeros((4,))}}
+        _, _, idx0 = m.apply(p, z)
+        assert int(idx0.reshape(-1)[0]) == 0
+        w = jnp.asarray([50.0, 0.0, 0.0, 0.0])
+        p2 = {"params": {"embedding": emb, "weight": w}}
+        _, _, idx1 = m.apply(p2, z)
+        assert int(idx1.reshape(-1)[0]) == 1

@@ -1,0 +1,232 @@
+"""Registry losses (reference: basicsr/losses/losses.py:16-506).
+
+L1/MSE/Charbonnier pixel losses with 'none|mean|sum' reduction and
+element weights, WeightedTVLoss, PerceptualLoss (VGG feature + optional
+gram-style term), the GANLoss family (vanilla / lsgan / wgan /
+wgan_softplus / hinge), MultiScaleGANLoss, r1 gradient penalty and
+path-length regularize — as pure-JAX callables built by ``build_loss``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..modules.losses import VGG16Features, load_vgg16_params
+from .registry import LOSS_REGISTRY
+
+
+def _reduce(x, weight=None, reduction="mean"):
+    if weight is not None:
+        x = x * weight
+    if reduction == "mean":
+        return jnp.mean(x)
+    if reduction == "sum":
+        return jnp.sum(x)
+    return x
+
+
+@LOSS_REGISTRY.register()
+class L1Loss:
+    def __init__(self, loss_weight=1.0, reduction="mean"):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred, target, weight=None):
+        return self.loss_weight * _reduce(
+            jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)),
+            weight,
+            self.reduction,
+        )
+
+
+@LOSS_REGISTRY.register()
+class MSELoss:
+    def __init__(self, loss_weight=1.0, reduction="mean"):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred, target, weight=None):
+        return self.loss_weight * _reduce(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
+            weight,
+            self.reduction,
+        )
+
+
+@LOSS_REGISTRY.register()
+class CharbonnierLoss:
+    def __init__(self, loss_weight=1.0, reduction="mean", eps=1e-12):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+        self.eps = eps
+
+    def __call__(self, pred, target, weight=None):
+        diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+        return self.loss_weight * _reduce(
+            jnp.sqrt(diff ** 2 + self.eps), weight, self.reduction
+        )
+
+
+@LOSS_REGISTRY.register()
+class WeightedTVLoss(L1Loss):
+    """Total-variation loss (reference: losses.py WeightedTVLoss)."""
+
+    def __call__(self, pred, weight=None):
+        wy = None if weight is None else weight[:, :-1, :, :]
+        wx = None if weight is None else weight[:, :, :-1, :]
+        y_loss = super().__call__(pred[:, :-1, :, :], pred[:, 1:, :, :], weight=wy)
+        x_loss = super().__call__(pred[:, :, :-1, :], pred[:, :, 1:, :], weight=wx)
+        return y_loss + x_loss
+
+
+@LOSS_REGISTRY.register()
+class PerceptualLoss:
+    """VGG16 multi-tap perceptual + optional gram-style loss
+    (reference: losses.py PerceptualLoss; relu taps, criterion l1/l2).
+
+    Weights come from GLARE_VGG16_NPZ (see modules/losses.py); absent
+    weights fall back to a fixed random VGG (flagged, non-parity).
+    """
+
+    def __init__(
+        self,
+        layer_weights: Optional[Dict[str, float]] = None,
+        perceptual_weight: float = 1.0,
+        style_weight: float = 0.0,
+        criterion: str = "l1",
+        **_,
+    ):
+        self.layer_weights = layer_weights or {
+            "relu1_2": 1.0,
+            "relu2_2": 1.0,
+            "relu3_3": 1.0,
+        }
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.criterion = criterion
+        self.module = VGG16Features()
+        self.params = load_vgg16_params()
+        self._tap_names = ["relu1_2", "relu2_2", "relu3_3"]
+
+    def _crit(self, a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        if self.criterion == "l1":
+            return jnp.mean(jnp.abs(a - b))
+        return jnp.mean((a - b) ** 2)
+
+    @staticmethod
+    def _gram(x):
+        b, h, w, c = x.shape
+        f = x.reshape(b, h * w, c).astype(jnp.float32)
+        return jnp.einsum("bnc,bnd->bcd", f, f) / (h * w * c)
+
+    def __call__(self, pred, target):
+        fp = self.module.apply(self.params, pred)
+        fg = self.module.apply(self.params, jax.lax.stop_gradient(target))
+        percep = None
+        style = None
+        if self.perceptual_weight > 0:
+            percep = 0.0
+            for name, a, b in zip(self._tap_names, fp, fg):
+                percep = percep + self.layer_weights.get(name, 1.0) * self._crit(a, b)
+            percep = percep * self.perceptual_weight
+        if self.style_weight > 0:
+            style = 0.0
+            for name, a, b in zip(self._tap_names, fp, fg):
+                style = style + self.layer_weights.get(name, 1.0) * self._crit(
+                    self._gram(a), self._gram(b)
+                )
+            style = style * self.style_weight
+        return percep, style
+
+
+@LOSS_REGISTRY.register()
+class GANLoss:
+    """vanilla | lsgan | wgan | wgan_softplus | hinge
+    (reference: losses.py GANLoss:297-383)."""
+
+    def __init__(self, gan_type="vanilla", real_label_val=1.0, fake_label_val=0.0,
+                 loss_weight=1.0):
+        self.gan_type = gan_type
+        self.real_label_val = real_label_val
+        self.fake_label_val = fake_label_val
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target_is_real, is_disc=False):
+        pred = pred.astype(jnp.float32)
+        t = self.gan_type
+        if t == "vanilla":
+            label = self.real_label_val if target_is_real else self.fake_label_val
+            labels = jnp.full_like(pred, label)
+            loss = jnp.mean(
+                jnp.maximum(pred, 0) - pred * labels + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+            )
+        elif t == "lsgan":
+            label = self.real_label_val if target_is_real else self.fake_label_val
+            loss = jnp.mean((pred - label) ** 2)
+        elif t == "wgan":
+            loss = -jnp.mean(pred) if target_is_real else jnp.mean(pred)
+        elif t == "wgan_softplus":
+            loss = (
+                jnp.mean(jax.nn.softplus(-pred))
+                if target_is_real
+                else jnp.mean(jax.nn.softplus(pred))
+            )
+        elif t == "hinge":
+            if is_disc:
+                pred = -pred if target_is_real else pred
+                loss = jnp.mean(jax.nn.relu(1 + pred))
+            else:
+                loss = -jnp.mean(pred)
+        else:
+            raise NotImplementedError(f"GAN type {t} not implemented")
+        return loss if is_disc else loss * self.loss_weight
+
+
+@LOSS_REGISTRY.register()
+class MultiScaleGANLoss(GANLoss):
+    """GANLoss averaged over a list of multi-scale predictions
+    (reference: losses.py MultiScaleGANLoss)."""
+
+    def __call__(self, preds, target_is_real, is_disc=False):
+        if isinstance(preds, (list, tuple)):
+            total = 0.0
+            for p in preds:
+                if isinstance(p, (list, tuple)):
+                    p = p[-1]
+                total = total + super().__call__(p, target_is_real, is_disc) / len(preds)
+            return total
+        return super().__call__(preds, target_is_real, is_disc)
+
+
+def r1_penalty(disc_fn, real):
+    """R1 gradient penalty (reference: losses.py r1_penalty)."""
+
+    def f(x):
+        return jnp.sum(disc_fn(x))
+
+    grad = jax.grad(f)(real)
+    return jnp.mean(jnp.sum(grad.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
+
+
+def gradient_penalty_loss(disc_fn, real, fake, rng):
+    """WGAN-GP interpolation penalty (reference: losses.py gradient_penalty_loss)."""
+    alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1))
+    interp = alpha * real + (1 - alpha) * fake
+
+    def f(x):
+        return jnp.sum(disc_fn(x))
+
+    grad = jax.grad(f)(interp)
+    norm = jnp.sqrt(jnp.sum(grad.astype(jnp.float32) ** 2, axis=(1, 2, 3)) + 1e-12)
+    return jnp.mean((norm - 1) ** 2)
+
+
+def build_loss(opt):
+    opt = dict(opt)
+    loss_type = opt.pop("type")
+    return LOSS_REGISTRY.get(loss_type)(**opt)

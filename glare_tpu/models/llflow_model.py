@@ -88,6 +88,23 @@ class LLFlowModel(BaseModel):
         self.log_dict = {}
         self._jit_cache = {}
 
+        # SPMD data parallelism: batch sharded over a 1-D 'data' mesh,
+        # params replicated; XLA inserts the gradient all-reduce (the
+        # reference's DataParallel/DDP+NCCL surface, SURVEY.md §2.3).
+        self.mesh = None
+        n_dev = jax.device_count()
+        if n_dev > 1 and (opt.get("use_dp", True)):
+            from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+            self.mesh = make_mesh()
+            self._repl = replicate(self.mesh)
+            self._shard = shard_batch(self.mesh)
+
+    def _put_batch(self, x):
+        if self.mesh is not None and x.shape[0] % self.mesh.size == 0:
+            return jax.device_put(x, self._shard)
+        return x
+
     @staticmethod
     def _flaxify(path):
         base, ext = os.path.splitext(path)
@@ -173,10 +190,10 @@ class LLFlowModel(BaseModel):
     def optimize_parameters(self, batch, step):
         if not self._actnorm_inited:
             self.initialize_actnorm(batch)
-        gt_latent = self.encode_gt_latent(batch["GT"])
+        gt_latent = self.encode_gt_latent(self._put_batch(batch["GT"]))
         step_fn = self._train_step_fn()
         self.params, self.opt_state, loss = step_fn(
-            self.params, self.opt_state, gt_latent, batch["LQ"]
+            self.params, self.opt_state, gt_latent, self._put_batch(batch["LQ"])
         )
         loss = float(loss)
         self.log_dict["nll_loss"] = loss

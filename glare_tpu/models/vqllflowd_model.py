@@ -94,6 +94,20 @@ class VQLLFLOWDModel(BaseModel):
         self.log_dict = {}
         self._jit_cache = {}
 
+        # SPMD data parallelism (see llflow_model.py)
+        self.mesh = None
+        if jax.device_count() > 1 and (opt.get("use_dp", True)):
+            from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+            self.mesh = make_mesh()
+            self._repl = replicate(self.mesh)
+            self._shard = shard_batch(self.mesh)
+
+    def _put_batch(self, x):
+        if self.mesh is not None and x.shape[0] % self.mesh.size == 0:
+            return jax.device_put(x, self._shard)
+        return x
+
     @staticmethod
     def _flaxify(path):
         base, ext = os.path.splitext(path)
@@ -165,7 +179,8 @@ class VQLLFLOWDModel(BaseModel):
     def optimize_parameters(self, batch, step):
         fn = self._train_step_fn()
         self.params, self.opt_state, total, (l1, percep, ssim_l) = fn(
-            self.params, self.opt_state, self.vq_variables, batch["LQ"], batch["GT"]
+            self.params, self.opt_state, self.vq_variables,
+            self._put_batch(batch["LQ"]), self._put_batch(batch["GT"]),
         )
         self.log_dict = {
             "total_loss": float(total),

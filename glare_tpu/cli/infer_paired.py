@@ -77,13 +77,16 @@ def main(default_conf="./confs/LOL.yml"):
             lr = his
 
         h, w, c = lr.shape
-        lr = impad(lr, bottom=20, left=20)
+        # fused native preprocessing: /255 + log transform + reflect pad
+        # (falls back to numpy without a toolchain)
+        from ..data.native import preprocess_padded
 
-        lr_t = lr.astype(np.float32) / 255.0
-        if opt_get(opt, ["datasets", "train", "log_low"], False):
-            lr_t = log_transform(lr_t)
+        lr_t = preprocess_padded(
+            lr, bottom=20, left=20,
+            apply_log=bool(opt_get(opt, ["datasets", "train", "log_low"], False)),
+        )
         if opt.get("concat_histeq", False):
-            his_t = his.astype(np.float32) / 255.0
+            his_t = impad(his, bottom=20, left=20).astype(np.float32) / 255.0
             lr_t = np.concatenate([lr_t, his_t], axis=-1)
 
         lr_b = jnp.asarray(lr_t)[None, ...]

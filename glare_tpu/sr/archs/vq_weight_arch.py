@@ -151,6 +151,8 @@ class VQWeightDehazeNet(nn.Module):
     use_weight: bool = False
     use_warp: bool = True
     weight_alpha: float = 1.0
+    use_semantic_loss: bool = False
+    semantic_dim: int = 256
     dtype: Dtype = None
 
     @property
@@ -219,6 +221,15 @@ class VQWeightDehazeNet(nn.Module):
         self.after_quant_group = after_quant
         self._scales = tuple(int(x) for x in scales)
 
+        # semantic cluster head for HQ pretraining (reference:
+        # dehaze_vq_weight_arch.py:402-410 — 1x1 conv + ReLU projecting the
+        # quantized latent onto frozen VGG features; the VGG forward lives in
+        # the trainer). The reference taps vgg19 relu4_4; we tap our VGG16
+        # relu3_3 (deepest available offline), same mechanism.
+        if self.use_semantic_loss:
+            self.conv_semantic = Conv(self.semantic_dim, (1, 1), padding=0,
+                                      dtype=self.dtype)
+
     def encode_and_decode(self, x, gt_indices=None, weight_alpha=None):
         enc_feats = self.multiscale_encoder(x)
 
@@ -276,6 +287,12 @@ class VQWeightDehazeNet(nn.Module):
 
     def __call__(self, x, gt_indices=None, weight_alpha=None):
         return self.encode_and_decode(x, gt_indices=gt_indices, weight_alpha=weight_alpha)
+
+    def semantic_embed(self, z_quant):
+        """Project quantized features for the semantic cluster loss."""
+        import jax as _jax
+
+        return _jax.nn.relu(self.conv_semantic(z_quant))
 
     def decode_indices(self, indices):
         """indices [B, h, w] -> image (reference: dehaze_vq_weight_arch.py:489-498)."""

@@ -54,6 +54,15 @@ class VQDehazeModel(BaseSRModel):
         gt_size = opt_get(opt, ["datasets", "train", "gt_size"], 256) or 256
         dummy = jnp.zeros((1, gt_size, gt_size, 3), jnp.float32)
         self.params_g = self.net_g.init(self._next_rng(), dummy)["params"]
+        if opt["network_g"].get("use_semantic_loss"):
+            # semantic head params aren't touched by encode_and_decode
+            scale0 = int(opt["network_g"]["codebook_params"][0][0])
+            emb0 = int(opt["network_g"]["codebook_params"][0][2])
+            zq_dummy = jnp.zeros((1, scale0, scale0, emb0), jnp.float32)
+            sem_params = self.net_g.init(
+                self._next_rng(), zq_dummy, method=self.net_g.semantic_embed
+            )["params"]
+            self.params_g = {**self.params_g, **sem_params}
 
         self.net_hq = None
         self.params_hq = None
@@ -105,6 +114,13 @@ class VQDehazeModel(BaseSRModel):
             build_loss(train_opt["perceptual_opt"]) if train_opt.get("perceptual_opt") else None
         )
         self.cri_gan = build_loss(train_opt["gan_opt"]) if train_opt.get("gan_opt") else None
+        self.semantic_w = 0.0
+        self._vgg = None
+        if train_opt.get("semantic_opt") and self.opt["network_g"].get("use_semantic_loss"):
+            from ...modules.losses import VGG16Features, load_vgg16_params
+
+            self.semantic_w = float(train_opt["semantic_opt"].get("loss_weight", 0.1))
+            self._vgg = (VGG16Features(), load_vgg16_params())
         self.use_dis = bool(train_opt.get("gan_opt") and train_opt["gan_opt"].get("loss_weight", 0) != 0)
         self.net_d_iters = train_opt.get("net_d_iters", 1)
         self.net_d_init_iters = train_opt.get("net_d_init_iters", 0)
@@ -143,6 +159,8 @@ class VQDehazeModel(BaseSRModel):
             use_gan = self.use_dis
             LQ_stage = self.LQ_stage
             tx = self.tx_g
+            semantic_w = self.semantic_w
+            vgg = self._vgg
 
             def loss_fn(params_g, params_hq, params_d, spectral_d, lq, gt, use_gan_now):
                 gt_indices = None
@@ -175,6 +193,24 @@ class VQDehazeModel(BaseSRModel):
                     if l_style is not None:
                         total = total + l_style
                         losses["l_style"] = l_style
+                if semantic_w > 0:
+                    # semantic cluster loss (reference: dehaze_vq_model.py
+                    # semantic_opt + dehaze_vq_weight_arch.py:402-418)
+                    vgg_mod, vgg_params = vgg
+                    src = lq if LQ_stage else gt
+                    feat = jax.lax.stop_gradient(vgg_mod.apply(vgg_params, src)[-1])
+                    sem = net_g.apply(
+                        {"params": params_g}, z_q, method=net_g.semantic_embed
+                    )
+                    if feat.shape[1:3] != sem.shape[1:3]:
+                        feat = jax.image.resize(
+                            feat, (feat.shape[0],) + sem.shape[1:3] + (feat.shape[-1],),
+                            method="bilinear",
+                        )
+                    l_sem = jnp.mean((sem.astype(jnp.float32) - feat.astype(jnp.float32)) ** 2)
+                    l_sem = l_sem * semantic_w
+                    total = total + l_sem
+                    losses["l_semantic"] = l_sem
                 if use_gan:
                     fake_pred = net_d.apply(
                         {"params": params_d, "spectral": spectral_d}, z_q,

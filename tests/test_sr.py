@@ -202,3 +202,60 @@ class TestVQDehazeTrainer:
         lq = jnp.asarray(np.random.rand(1, 40, 52, 3).astype(np.float32))
         out = model.test(lq)
         assert out.shape == (1, 40, 52, 3)
+
+
+class TestSemanticLoss:
+    def test_hq_with_semantic(self, tmp_path):
+        from glare_tpu.sr.models.vq_model import VQDehazeModel
+
+        opt = {
+            "is_train": True,
+            "manual_seed": 0,
+            "network_g": {
+                "type": "VQWeightDehazeNet",
+                "gt_resolution": 32,
+                "codebook_params": [[8, 64, 64]],
+                "LQ_stage": False,
+                "use_weight": False,
+                "use_semantic_loss": True,
+            },
+            "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 64, "num_feat": 32},
+            "datasets": {"train": {"gt_size": 32}},
+            "path": {"models": str(tmp_path / "m"), "training_states": str(tmp_path / "s")},
+            "train": {
+                "optim_g": {"type": "Adam", "lr": 1e-4},
+                "optim_d": {"type": "Adam", "lr": 1e-4},
+                "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+                "gan_opt": {"type": "GANLoss", "gan_type": "hinge", "loss_weight": 0},
+                "codebook_opt": {"loss_weight": 1.0},
+                "semantic_opt": {"loss_weight": 0.1},
+                "ema_decay": 0,
+            },
+            "val": {"metrics": {"psnr": {"type": "psnr", "better": "higher"}}},
+        }
+        model = VQDehazeModel(opt)
+        rng = np.random.RandomState(0)
+        batch = {"lq": rng.rand(1, 32, 32, 3).astype(np.float32),
+                 "gt": rng.rand(1, 32, 32, 3).astype(np.float32)}
+        logs = model.optimize_parameters(1, batch)
+        assert "l_semantic" in logs and np.isfinite(logs["l_semantic"])
+
+
+class TestFileClient:
+    def test_disk_backend_and_imfrombytes(self, tmp_path):
+        import cv2
+        from glare_tpu.sr.utils.file_client import FileClient, imfrombytes
+
+        img = np.random.RandomState(0).randint(0, 255, (8, 9, 3), np.uint8)
+        p = str(tmp_path / "x.png")
+        cv2.imwrite(p, img)
+        fc = FileClient("disk")
+        data = fc.get(p)
+        dec = imfrombytes(data)
+        np.testing.assert_array_equal(dec, img)
+
+    def test_unknown_backend_raises(self):
+        from glare_tpu.sr.utils.file_client import FileClient
+
+        with pytest.raises(ValueError):
+            FileClient("s3")

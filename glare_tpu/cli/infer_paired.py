@@ -67,45 +67,59 @@ def main(default_conf="./confs/LOL.yml"):
     path_out_measures_final = os.path.join(test_dir, fname)
     df = None
 
-    t0 = time.time()
-    n_images = 0
-    for lr_path, hr_path in zip(lr_paths, hr_paths):
+    from ..data.native import preprocess_padded
+
+    apply_log = bool(opt_get(opt, ["datasets", "train", "log_low"], False))
+
+    def prep(lr_path):
         lr = imread(lr_path)
-        hr = imread(hr_path)
         his = hiseq_color_cv2_img(lr)
         if opt.get("histeq_as_input", False):
             lr = his
-
-        h, w, c = lr.shape
+        h, w, _ = lr.shape
         # fused native preprocessing: /255 + log transform + reflect pad
-        # (falls back to numpy without a toolchain)
-        from ..data.native import preprocess_padded
-
-        lr_t = preprocess_padded(
-            lr, bottom=20, left=20,
-            apply_log=bool(opt_get(opt, ["datasets", "train", "log_low"], False)),
-        )
+        lr_t = preprocess_padded(lr, bottom=20, left=20, apply_log=apply_log)
         if opt.get("concat_histeq", False):
             his_t = impad(his, bottom=20, left=20).astype(np.float32) / 255.0
             lr_t = np.concatenate([lr_t, his_t], axis=-1)
+        return lr_t, h
 
-        lr_b = jnp.asarray(lr_t)[None, ...]
-        sr = model.get_sr(lq=lr_b, heat=None)
-        sr = np.asarray(sr)[:, :h, 20:, :]  # crop the pad back
+    t0 = time.time()
+    n_images = 0
+    i = 0
+    while i < len(lr_paths):
+        # fuse same-shape consecutive images into one device call
+        group = [(lr_paths[i], hr_paths[i], *prep(lr_paths[i]))]
+        i += 1
+        while (
+            len(group) < args.batch
+            and i < len(lr_paths)
+        ):
+            lr_t, h = prep(lr_paths[i])
+            if lr_t.shape != group[0][2].shape:
+                break
+            group.append((lr_paths[i], hr_paths[i], lr_t, h))
+            i += 1
 
-        restored = np.clip(sr[0], 0, 1)
-        target = hr.astype(np.float64) / 255.0
-        restored = gray_mean_adjust(restored, target)
-        n_images += 1
+        lr_b = jnp.asarray(np.stack([g[2] for g in group]))
+        sr_b = np.asarray(model.get_sr(lq=lr_b, heat=None))
 
-        meas = OrderedDict(conf=conf, name=os.path.basename(hr_path))
-        meas["PSNR"] = PSNR(target, restored)
-        meas["SSIM"] = calculate_ssim(img_as_ubyte(target), img_as_ubyte(restored))
-        meas["LPIPS"] = measure.lpips(img_as_ubyte(restored), img_as_ubyte(target))
+        for (lr_path, hr_path, lr_t, h), sr in zip(group, sr_b):
+            hr = imread(hr_path)
+            sr = sr[:h, 20:, :]  # crop the pad back
+            restored = np.clip(sr, 0, 1)
+            target = hr.astype(np.float64) / 255.0
+            restored = gray_mean_adjust(restored, target)
+            n_images += 1
 
-        imwrite(os.path.join(test_dir, os.path.basename(hr_path)), img_as_ubyte(restored))
-        print(format_measurements(meas))
-        df = pd.DataFrame([meas]) if df is None else pd.concat([pd.DataFrame([meas]), df])
+            meas = OrderedDict(conf=conf, name=os.path.basename(hr_path))
+            meas["PSNR"] = PSNR(target, restored)
+            meas["SSIM"] = calculate_ssim(img_as_ubyte(target), img_as_ubyte(restored))
+            meas["LPIPS"] = measure.lpips(img_as_ubyte(restored), img_as_ubyte(target))
+
+            imwrite(os.path.join(test_dir, os.path.basename(hr_path)), img_as_ubyte(restored))
+            print(format_measurements(meas))
+            df = pd.DataFrame([meas]) if df is None else pd.concat([pd.DataFrame([meas]), df])
 
     dt = time.time() - t0
     df.to_csv(path_out_measures_final, index=False)

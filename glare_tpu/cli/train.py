@@ -122,6 +122,27 @@ def main(stage=2, argv=None):
             losses = model.optimize_parameters(feed, current_step)
             timer.tock()
 
+            # failure detection: a NaN/inf loss aborts the step stream and
+            # auto-reloads the newest healthy training state (the reference
+            # has no recovery beyond manual resume; SURVEY.md §5)
+            log_vals = list(model.get_current_log().values())
+            if log_vals and not all(math.isfinite(v) for v in log_vals):
+                logger.warning(
+                    "Non-finite loss at iter %d: %s — reloading newest state",
+                    current_step, model.get_current_log(),
+                )
+                from ..utils.util import get_resume_paths
+
+                state_path, _ = get_resume_paths(
+                    {"path": dict(opt["path"], resume_state="auto")}
+                )
+                if state_path and os.path.isfile(state_path):
+                    _, current_step = model.resume_training(state_path)
+                    continue
+                raise FloatingPointError(
+                    f"non-finite loss at iter {current_step} and no state to reload"
+                )
+
             if current_step % print_freq == 0:
                 avg_it = timer.get_average_and_reset()
                 avg_data = tick_tock.get_average_and_reset()

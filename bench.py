@@ -3,7 +3,7 @@
 shape (padded to 620x420 per infer_dataset_lol.py) on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "stage3_infer_600x400", "value": N, "unit": "img/s",
+  {"metric": "stage3_infer_600x400" if args.warp_mode == "dcn" else "stage3_infer_600x400_flowwarp", "value": N, "unit": "img/s",
    "vs_baseline": N / 200.0}
 
 Baseline: BASELINE.md speed target >200 img/s per v5e chip. bf16 compute,
@@ -29,13 +29,16 @@ def main():
     parser.add_argument("--height", type=int, default=420)
     parser.add_argument("--width", type=int, default=620)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--warp_mode", default="dcn", choices=["dcn", "flow"],
+                        help="AFT alignment: exact DCNv2 parity or the "
+                             "gather-free TPU-fast flow variant")
     args = parser.parse_args()
 
     from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
     from glare_tpu.modules.vqmodel import VQModel
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype)
+    netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype, warp_mode=args.warp_mode)
     vq = VQModel(dtype=dtype)
 
     b, h, w = args.batch, args.height, args.width
@@ -88,7 +91,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "stage3_infer_600x400",
+                "metric": "stage3_infer_600x400" if args.warp_mode == "dcn" else "stage3_infer_600x400_flowwarp",
                 "value": round(img_per_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / 200.0, 4),

@@ -31,7 +31,8 @@ def define_Flow(opt, step=0, dtype=None):
     if which_model == "LLFlowVQGAN2":
         return LLFlowVQGAN2(dtype=dtype, **kw)
     if which_model == "VQLLFLOWDeformable":
-        return VQLLFLOWDeformable(dtype=dtype, **kw)
+        warp_mode = opt_get(opt, ["network_G", "warp_mode"], "dcn") or "dcn"
+        return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode, **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")
 
 

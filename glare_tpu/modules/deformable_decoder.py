@@ -76,9 +76,17 @@ class DCNv2Pack(nn.Module):
 
 class WarpBlock(nn.Module):
     """Align VQGAN features to the hidden state via DCNv2
-    (reference: deformableDecoder_arch.py:279-290)."""
+    (reference: deformableDecoder_arch.py:279-290).
+
+    warp_mode:
+      'dcn'  — exact DCNv2 parity (gather-based; default)
+      'flow' — TPU-fast bounded group-flow alignment + dense 3x3 conv
+               (gather-free; see ops/warp.py for the rationale)
+    """
 
     dtype: Dtype = None
+    warp_mode: str = "dcn"
+    flow_max_offset: int = 2
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -86,6 +94,17 @@ class WarpBlock(nn.Module):
         side = Conv(c, (3, 3), padding=1, dtype=self.dtype, name="offset")(
             jnp.concatenate([x_vq, x_residual.astype(x_vq.dtype)], axis=-1)
         )
+        if self.warp_mode == "flow":
+            from ..ops.warp import flow_warp_align
+
+            G = 4
+            raw = Conv(G * 2, (3, 3), padding=1, zero_init=True,
+                       dtype=self.dtype, name="flow_head")(side)
+            B, H, W, _ = raw.shape
+            flow = jnp.tanh(raw.astype(jnp.float32)).reshape(B, H, W, G, 2)
+            flow = flow * self.flow_max_offset
+            aligned = flow_warp_align(x_vq, flow, max_offset=self.flow_max_offset)
+            return Conv(c, (3, 3), padding=1, dtype=self.dtype, name="post_conv")(aligned)
         return DCNv2Pack(c, deformable_groups=4, dtype=self.dtype, name="dcn")(x_vq, side)
 
 
@@ -122,6 +141,7 @@ class MultiScaleDecoder2(nn.Module):
     resolution: int = 256
     z_channels: int = 3
     dtype: Dtype = None
+    warp_mode: str = "dcn"
 
     @nn.compact
     def __call__(self, z, code_decoder_output, enc_feat):
@@ -156,7 +176,10 @@ class MultiScaleDecoder2(nn.Module):
                 h = Mix(
                     m=-1.0 if i_level == 1 else -0.6, name=f"mix_{1 - i_level}"
                 )(enc_feat[i_level].astype(wdt), h)
-                x_vq = WarpBlock(dtype=self.dtype, name=f"warp_{1 - i_level}")(x_code, h)
+                x_vq = WarpBlock(
+                    dtype=self.dtype, warp_mode=self.warp_mode,
+                    name=f"warp_{1 - i_level}",
+                )(x_code, h)
                 h = h + x_vq * (jnp.mean(h) / jnp.mean(x_vq))
 
             if i_level != 0:

@@ -37,6 +37,7 @@ class VQLLFLOWDeformable(nn.Module):
     coupling: str = "CondAffineSeparatedAndCond"
     quant: float = 32.0
     dtype: Dtype = None
+    warp_mode: str = "dcn"
 
     def setup(self):
         self.RRDB = ConEncoder1(dtype=self.dtype)
@@ -47,7 +48,9 @@ class VQLLFLOWDeformable(nn.Module):
             hidden_channels=self.hidden_channels,
             flow_coupling=self.coupling,
         )
-        self.deformable_decoder = MultiScaleDecoder2(ch=128, dtype=self.dtype)
+        self.deformable_decoder = MultiScaleDecoder2(
+            ch=128, dtype=self.dtype, warp_mode=self.warp_mode
+        )
 
     def __call__(self, lr, code_decoder_output=None, x_latent=None, mid_feat=None):
         """Full reverse pass given externally-computed VQGAN decode outputs

@@ -32,7 +32,13 @@ def main():
     parser.add_argument("--warp_mode", default="dcn", choices=["dcn", "flow"],
                         help="AFT alignment: exact DCNv2 parity or the "
                              "gather-free TPU-fast flow variant")
+    parser.add_argument("--mode", default="infer", choices=["infer", "train_stage2"],
+                        help="infer = stage-3 inference (headline); "
+                             "train_stage2 = flow-NLL training step throughput")
     args = parser.parse_args()
+
+    if args.mode == "train_stage2":
+        return bench_train_stage2(args)
 
     from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
     from glare_tpu.modules.vqmodel import VQModel
@@ -98,6 +104,63 @@ def main():
             }
         )
     )
+
+
+def bench_train_stage2(args):
+    """Stage-2 training throughput: VQGAN GT-encode + flow NLL + adam update
+    at the shipped conf's GT_size=320 (train_stage2_LOL.yml)."""
+    import optax
+
+    from glare_tpu.modules.llflow_vqgan2 import LLFlowVQGAN2
+    from glare_tpu.modules.vqmodel import VQModel
+
+    netG = LLFlowVQGAN2(K=12, L=2)
+    vq = VQModel()
+    b, s = max(args.batch, 4), 320
+
+    def init_all(rng):
+        rngs = jax.random.split(rng, 2)
+        gt = jnp.zeros((1, s, s, 3), jnp.float32)
+        latent = jnp.zeros((1, s // 4, s // 4, 3), jnp.float32)
+        vq_vars = vq.init(rngs[0], gt)
+        params = netG.init(rngs[1], latent, gt, method=LLFlowVQGAN2.normal_flow)["params"]
+        return params, vq_vars
+
+    params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
+    tx = optax.adam(5e-4, b1=0.9, b2=0.99)
+    opt_state = jax.jit(tx.init)(params)
+
+    def loss_fn(params, vq_vars, lq, gt):
+        h, _ = vq.apply(vq_vars, gt, method=vq.encode)
+        gt_latent = jax.lax.stop_gradient(h)
+        _, nll, _ = netG.apply({"params": params}, gt_latent, lq,
+                               method=LLFlowVQGAN2.normal_flow)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(params, opt_state, lq, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, vq_vars, lq, gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(0)
+    lq = jnp.asarray(np.log(np.clip(rng.rand(b, s, s, 3).astype(np.float32), 1e-3, None)))
+    gt = jnp.asarray(rng.rand(b, s, s, 3).astype(np.float32))
+
+    for _ in range(args.warmup):
+        params, opt_state, loss = step(params, opt_state, lq, gt)
+    _ = np.asarray(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, opt_state, loss = step(params, opt_state, lq, gt)
+    _ = np.asarray(loss)
+    dt = time.perf_counter() - t0
+    img_per_s = b * args.iters / dt
+    print(json.dumps({
+        "metric": "stage2_train_320", "value": round(img_per_s, 3),
+        "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -55,8 +55,15 @@ class LLFlowModel(BaseModel):
         self.heats = opt_get(opt, ["val", "heats"])
         self.hr_size = opt_get(opt, ["datasets", "train", "GT_size"], 256) or 256
 
-        self.netG = define_Flow(opt, step)
-        self.net_hq = find_vqgan(opt)
+        # inference_dtype: bfloat16 halves HBM traffic on the conv stacks;
+        # training keeps f32 params with f32 flow math either way
+        dtype = None
+        if not self.is_train and (opt.get("inference_dtype") == "bfloat16"):
+            import jax.numpy as _jnp
+
+            dtype = _jnp.bfloat16
+        self.netG = define_Flow(opt, step, dtype=dtype)
+        self.net_hq = find_vqgan(opt, dtype=dtype)
 
         seed = int(opt_get(opt, ["train", "manual_seed"], 10) or 10)
         rng = jax.random.PRNGKey(seed)

@@ -207,6 +207,27 @@ class VQLLFLOWDModel(BaseModel):
             self._jit_cache["get_sr"] = fn
         return fn(self.params, self.vq_variables, lq)
 
+    def get_sr_with_z(self, lq, heat=None, seed=None, z=None, epses=None):
+        """Reference-API parity (VQLLFLOWD_model.py:296-305). The latent seed
+        is the conditional color map, so z is accepted and unused, exactly as
+        in the reference reverse path."""
+        sr = self.get_sr(lq, heat)
+        return sr, self.get_z(heat or 0, seed, lq.shape[0], lq.shape)
+
+    def get_z(self, heat, seed=None, batch_size=1, lr_shape=None):
+        """z placeholder of the reference's shape convention
+        (VQLLFLOWD_model.py:307-322); unused by the color-map-seeded
+        reverse flow."""
+        L = 3
+        fac = 2 ** L
+        h = lr_shape[1] // fac if lr_shape is not None else 8
+        w = lr_shape[2] // fac if lr_shape is not None else 8
+        size = (batch_size, h, w, 3 * fac * fac)
+        if heat and heat > 0:
+            key = jax.random.PRNGKey(seed or 0)
+            return jax.random.normal(key, size) * heat
+        return jnp.zeros(size)
+
     # ---------------- persistence ----------------
 
     def save(self, iter_label):

@@ -1,0 +1,67 @@
+"""Registered evaluation metrics (reference: basicsr/metrics/*).
+
+Note: the reference ships metric CLIs that import `basicsr.metrics` symbols
+which were never vendored (non-functional as shipped; SURVEY.md §2.2).
+These are working equivalents: PSNR/SSIM with crop_border and Y-channel
+options registered in METRIC_REGISTRY. NIQE/FID require pretrained
+statistics (pristine-corpus MVG / Inception) unavailable offline and raise
+informative errors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.matlab_functions import bgr2ycbcr, rgb2ycbcr
+from ..utils.metrics import calculate_psnr as _psnr_255
+from ..utils.metrics import calculate_ssim as _ssim_255
+from .registry import METRIC_REGISTRY
+
+
+def _prep(img, crop_border, test_y_channel, input_order="HWC"):
+    img = np.asarray(img)
+    if input_order == "CHW":
+        img = img.transpose(1, 2, 0)
+    if crop_border:
+        img = img[crop_border:-crop_border, crop_border:-crop_border]
+    if test_y_channel and img.ndim == 3 and img.shape[2] == 3:
+        imgf = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
+        img = rgb2ycbcr(imgf, y_only=True) * 255.0
+    return img
+
+
+@METRIC_REGISTRY.register()
+def calculate_psnr(img, img2, crop_border=0, input_order="HWC", test_y_channel=False, **_):
+    """PSNR in the [0,255] convention (reference: metrics/psnr_ssim.py)."""
+    a = _prep(img, crop_border, test_y_channel, input_order)
+    b = _prep(img2, crop_border, test_y_channel, input_order)
+    return _psnr_255(a, b)
+
+
+@METRIC_REGISTRY.register()
+def calculate_ssim(img, img2, crop_border=0, input_order="HWC", test_y_channel=False, **_):
+    """MATLAB-style SSIM (reference: metrics/psnr_ssim.py)."""
+    a = _prep(img, crop_border, test_y_channel, input_order)
+    b = _prep(img2, crop_border, test_y_channel, input_order)
+    return _ssim_255(a, b)
+
+
+@METRIC_REGISTRY.register()
+def calculate_niqe(img, **_):
+    raise NotImplementedError(
+        "NIQE needs the pristine-corpus MVG parameter file (niqe_pris_params),"
+        " which is not available in this offline image; supply it and wire"
+        " glare_tpu.sr.metrics.calculate_niqe (the reference's CLI is also"
+        " non-functional as shipped)."
+    )
+
+
+@METRIC_REGISTRY.register()
+def calculate_fid(img, **_):
+    raise NotImplementedError(
+        "FID requires pretrained Inception statistics, unavailable offline."
+    )
+
+
+def build_metric(name):
+    return METRIC_REGISTRY.get(name)

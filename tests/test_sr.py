@@ -259,3 +259,24 @@ class TestFileClient:
 
         with pytest.raises(ValueError):
             FileClient("s3")
+
+
+class TestMetricsRegistry:
+    def test_psnr_ssim_y_channel(self):
+        from glare_tpu.sr.metrics import calculate_psnr, calculate_ssim
+
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 256, (32, 32, 3), np.uint8)
+        b = np.clip(a.astype(int) + rng.randint(-8, 8, a.shape), 0, 255).astype(np.uint8)
+        p_rgb = calculate_psnr(a, b)
+        p_y = calculate_psnr(a, b, crop_border=2, test_y_channel=True)
+        assert np.isfinite(p_rgb) and np.isfinite(p_y)
+        assert p_y > p_rgb  # Y-channel PSNR is characteristically higher
+        s = calculate_ssim(a, b, crop_border=2, test_y_channel=True)
+        assert 0 < s <= 1
+
+    def test_niqe_raises_informative(self):
+        from glare_tpu.sr.metrics import calculate_niqe
+
+        with pytest.raises(NotImplementedError):
+            calculate_niqe(np.zeros((8, 8, 3)))

@@ -91,4 +91,8 @@ def msssim(img1, img2, window_size=11, val_range=1.0, normalize=False):
         mcs = (mcs + 1) / 2
     pow1 = mcs ** weights
     pow2 = mssim ** weights
-    return jnp.prod(pow1[:-1]) * pow2[-1]
+    # protocol quirk kept bug-for-bug: the reference computes
+    # prod(pow1[:-1] * pow2[-1]) (pytorch_msssim/__init__.py:100-103), which
+    # broadcasts the last-level ssim term into all four cs factors, i.e.
+    # prod(pow1[:-1]) * pow2[-1]**4 — not the canonical MS-SSIM combination.
+    return jnp.prod(pow1[:-1] * pow2[-1])

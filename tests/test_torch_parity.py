@@ -275,3 +275,81 @@ class TestQuantizeParity:
         np.testing.assert_array_equal(np.asarray(jidx), tidx.numpy().reshape(-1))
         np.testing.assert_allclose(np.asarray(jq), from_nchw(tq), atol=1e-6)
         np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-5)
+
+
+class TestFlowUpsamplerNetParity:
+    def test_full_28_step_graph_encode_decode(self):
+        """The complete shipped flow graph (L=2, K=12 -> 28 steps) against
+        the reference FlowUpsamplerNet with converted weights."""
+        from models.modules.FlowUpsamplerNet import FlowUpsamplerNet as TorchFUN
+
+        from glare_tpu.modules.flow_upsampler import FlowUpsamplerNet
+        from tools.torch2flax import convert_flow_upsampler
+
+        opt = _nonedict_opt()
+        opt["network_G"]["flow"]["K"] = 4  # smaller K for CPU test speed
+        opt["network_G"]["flow"]["L"] = 2
+        opt["network_G"]["flow"]["additionalFlowNoAffine"] = 2
+        tm = TorchFUN((80, 80, 3), 64, 4,
+                      flow_coupling="CondAffineSeparatedAndCond", opt=opt)
+        tm = randomize_(tm, seed=11, scale=0.05)
+        # re-orthogonalize every invconv after randomization
+        g = torch.Generator().manual_seed(12)
+        with torch.no_grad():
+            for layer in tm.layers:
+                w = torch.linalg.qr(torch.randn(3, 3, generator=g))[0]
+                layer.invconv.weight.copy_(w)
+
+        x = np.random.RandomState(0).randn(1, 8, 8, 3).astype(np.float32) * 0.3
+        ft = np.random.RandomState(1).rand(1, 8, 8, 64).astype(np.float32)
+        rrdb_t = {"cond_feat": to_nchw(ft)}
+        with torch.no_grad():
+            tz, tld = tm(gt=to_nchw(x), rrdbResults=rrdb_t,
+                         logdet=torch.zeros(1), reverse=False)
+            txr, _ = tm(z=tz, rrdbResults=rrdb_t, logdet=tld, reverse=True)
+
+        n_layers = (2 + 4) * 2
+        sd = {f"flowUpsamplerNet.{k}": v for k, v in tm.state_dict().items()}
+        params = {"params": convert_flow_upsampler(sd, "flowUpsamplerNet", n_layers)}
+        m = FlowUpsamplerNet(K=4, L=2)
+        jz, jld = m.apply(params, jnp.asarray(x), {"cond_feat": jnp.asarray(ft)},
+                          logdet=jnp.zeros((1,)), reverse=False)
+        np.testing.assert_allclose(np.asarray(jz), from_nchw(tz), atol=5e-3)
+        np.testing.assert_allclose(float(jld[0]), float(tld[0]), rtol=1e-3, atol=5e-2)
+        jxr, _ = m.apply(params, jz, {"cond_feat": jnp.asarray(ft)},
+                         logdet=jld, reverse=True)
+        np.testing.assert_allclose(np.asarray(jxr), from_nchw(txr), atol=5e-3)
+        # and both invert back to x
+        np.testing.assert_allclose(np.asarray(jxr), x, atol=5e-3)
+
+
+class TestMSSSIMParity:
+    def test_msssim_matches_reference(self):
+        import importlib
+
+        ref_msssim = importlib.import_module("models.modules.pytorch_msssim")
+
+        from glare_tpu.modules.msssim import msssim, ssim
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(1, 180, 200, 3).astype(np.float32)
+        b = np.clip(a + 0.05 * rng.standard_normal(a.shape).astype(np.float32), 0, 1)
+        with torch.no_grad():
+            t_val = ref_msssim.msssim(to_nchw(a), to_nchw(b), normalize=True)
+            t_ssim = ref_msssim.ssim(to_nchw(a), to_nchw(b))
+        j_val = msssim(jnp.asarray(a), jnp.asarray(b), normalize=True)
+        j_ssim = ssim(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(float(j_val), float(t_val), atol=1e-4)
+        np.testing.assert_allclose(float(j_ssim), float(t_ssim), atol=1e-4)
+
+
+class TestSmoothL1Parity:
+    def test_matches_torch(self):
+        from glare_tpu.modules.losses import smooth_l1_loss
+
+        rng = np.random.RandomState(0)
+        a = rng.standard_normal((2, 8, 8, 3)).astype(np.float32) * 2
+        b = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+        t = torch.nn.functional.smooth_l1_loss(torch.from_numpy(a), torch.from_numpy(b))
+        j = smooth_l1_loss(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(float(j), float(t), rtol=1e-6)

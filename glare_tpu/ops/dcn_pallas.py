@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for modulated deformable convolution (DCNv2).
+
+Replaces the XLA gather formulation in ops/dcn.py for the GLARE hot path
+(3x3, stride 1, pad 1, deformable_groups=4) — XLA's gather lowering on this
+backend runs at ~100 MB/s (PERF_NOTES.md), while in-kernel
+`tpu.dynamic_gather` moves VMEM data at VPU-class speed.
+
+Design (one grid step = one output row x one 128-px column segment):
+  * x is zero-padded by (R+2) and pre-transposed to [B, C, Hp, Wp] once in
+    XLA, so the kernel band DMA lands channels-on-sublanes with no in-kernel
+    transpose. Zero padding reproduces the CUDA boundary semantics exactly
+    (partial bilinear weights at borders, zero outside) for offsets clamped
+    to [-R, R].
+  * per (tap k, group g, corner): the sample row is resolved by a masked
+    select over the (2R+5)-row band; the sample column by a lane-dim
+    `take_along_axis` within two 128-lane windows.
+  * per (k, g): the [Cg, 128px] samples contract with the [Cg, O] weight
+    slice on the MXU, accumulating [128px, O].
+
+Offsets are CLAMPED to [-R, R] (max_offset). GLARE's learned offsets are
+small (the reference warns when mean |offset| > 50 but trained values are
+~1-2 px); the exact unbounded op remains available via ops.dcn.
+
+f32 only in-kernel (dynamic_gather requires index/value bitwidth match).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
+            sem, *, R, G, K, Cg, O, band_rows, band_alloc, seg):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    s = pl.program_id(2)
+
+    C = G * Cg
+    cols = 2 * seg
+    # band layout [band_alloc rows, C, 2*seg]: the row axis is untiled, so a
+    # fori_loop can index it dynamically. DMA start must be 8-aligned: start
+    # at the aligned row below r and carry the residue r_off.
+    r0 = (r // 8) * 8
+    r_off = (r - r0).astype(jnp.int32)
+    dma = pltpu.make_async_copy(
+        xt_ref.at[b, pl.ds(r0, band_alloc), :, pl.ds(s * seg, cols)],
+        band,
+        sem,
+    )
+    dma.start()
+
+    samp[...] = jnp.zeros_like(samp)
+    acc[...] = jnp.zeros_like(acc)
+    base = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1).astype(jnp.float32)
+    dma.wait()
+
+    r_off_f = r_off.astype(jnp.float32)
+
+    def row_body(dr, _):
+        drf = dr.astype(jnp.float32) - r_off_f
+        row = band[dr]  # [C, 2*seg]
+        # hoist the unaligned lane shifts (the expensive relayouts) out of
+        # the (k, g) loop: 7 shifted copies serve all 36 taps/groups
+        shifts = [row[:, dc:dc + seg] for dc in range(1, 2 * R + 4)]
+        for k in range(K):
+            for g in range(G):
+                gk = g * K + k
+                py = py_ref[0, 0, 0, gk, :]
+                px = px_ref[0, 0, 0, gk, :]
+                w_row = jnp.maximum(0.0, 1.0 - jnp.abs(py - drf))[None, :]
+                contrib = jnp.zeros((Cg, seg), jnp.float32)
+                for i, dc in enumerate(range(1, 2 * R + 4)):
+                    w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px[None, :] - base - dc))
+                    contrib += shifts[i][g * Cg:(g + 1) * Cg] * w_col
+                samp[gk * Cg:(gk + 1) * Cg, :] += contrib * w_row
+        return 0
+
+    jax.lax.fori_loop(0, band_alloc, row_body, 0)
+
+    for k in range(K):
+        for g in range(G):
+            gk = g * K + k
+            m = m_ref[0, 0, 0, gk, :]
+            sampled = samp[gk * Cg:(gk + 1) * Cg, :] * m[None, :]
+            acc[...] += jax.lax.dot_general(
+                sampled, w_ref[gk],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    out_ref[0, 0, 0] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "interpret"))
+def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
+                                 max_offset=2, interpret=False):
+    """DCNv2 with clamped offsets, Pallas kernel. Layouts as ops.dcn:
+    x [B,H,W,C], offset [B,H,W,G,K,2], mask [B,H,W,G,K], weight HWIO.
+    3x3, stride 1, pad 1 only."""
+    B, H, W, C = x.shape
+    kh, kw, wc, O = weight.shape
+    assert (kh, kw) == (3, 3) and wc == C
+    G, K = offset.shape[3], offset.shape[4]
+    assert K == 9 and C % G == 0
+    Cg = C // G
+    R = int(max_offset)
+    P0 = R + 2
+    band_rows = 2 * R + 5
+    band_alloc = -(-(band_rows + 7) // 8) * 8
+    seg = 128
+    n_seg = -(-W // seg)
+    Wp_out = n_seg * seg
+
+    # pad + transpose once in XLA: [B, C, H + 2P0, Wp_out + 2P0]
+    # right-pad so every segment's 2*seg-wide band DMA stays in bounds
+    right_pad = (Wp_out + seg) - W - P0
+    bottom_pad = P0 + (band_alloc - band_rows) + 8
+    xp = jnp.pad(
+        x.astype(jnp.float32),
+        [(0, 0), (P0, bottom_pad), (P0, right_pad), (0, 0)],
+    )
+    xt = jnp.transpose(xp, (0, 1, 3, 2))  # [B, Hp, C, Wp]
+
+    # band-local sample positions per (g, k): local = t + clip(d, -R, R) + P0
+    ky, kx = np.meshgrid(np.arange(3) - 1, np.arange(3) - 1, indexing="ij")
+    ky = jnp.asarray(ky.reshape(K), jnp.float32)
+    kx = jnp.asarray(kx.reshape(K), jnp.float32)
+    off = jnp.clip(offset.astype(jnp.float32), -max_offset, max_offset)
+    # [B, H, W, G, K] -> band-local float positions
+    pyl = ky[None, None, None, None, :] + off[..., 0] + P0
+    # px is segment-local: col p within segment + tx + dx + P0, folded into
+    # the per-pixel base by the kernel's col iota? -> precompute relative to
+    # segment start instead: local col = (p % seg) + tx + dx + P0
+    col_in_seg = jnp.arange(W, dtype=jnp.float32) % seg
+    pxl = (
+        col_in_seg[None, None, :, None, None]
+        + kx[None, None, None, None, :]
+        + off[..., 1]
+        + P0
+    )
+    mk = mask.astype(jnp.float32)
+
+    def arrange(a):
+        # [B, H, W, G, K] -> [B, H, n_seg, 48, seg] (g*K+k on sublanes)
+        a = jnp.pad(a, [(0, 0), (0, 0), (0, Wp_out - W), (0, 0), (0, 0)])
+        a = a.reshape(B, H, n_seg, seg, G * K)
+        a = jnp.transpose(a, (0, 1, 2, 4, 3))
+        pad_rows = 48 - G * K
+        return jnp.pad(a, [(0, 0)] * 3 + [(0, pad_rows), (0, 0)])
+
+    PY = arrange(pyl)
+    PX = arrange(pxl)
+    MK = arrange(mk)
+    Wk = jnp.transpose(
+        weight.astype(jnp.float32).reshape(9, G, Cg, O), (1, 0, 2, 3)
+    ).reshape(G * K, Cg, O)
+
+    grid = (B, H, n_seg)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, R=R, G=G, K=K, Cg=Cg, O=O, band_rows=band_rows,
+            band_alloc=band_alloc, seg=seg
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 48, seg), lambda b, r, s: (b, r, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 48, seg), lambda b, r, s: (b, r, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 48, seg), lambda b, r, s: (b, r, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xt stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, seg, O), lambda b, r, s: (b, r, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, n_seg, seg, O), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((band_alloc, C, 2 * seg), jnp.float32),
+            pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
+            pltpu.VMEM((seg, O), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        PY.reshape(B, H, n_seg, 48, seg),
+        PX.reshape(B, H, n_seg, 48, seg),
+        MK.reshape(B, H, n_seg, 48, seg),
+        Wk,
+        xt,
+    )
+
+    out = out.reshape(B, H, n_seg * seg, O)[:, :, :W, :]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)

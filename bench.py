@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--height", type=int, default=420)
     parser.add_argument("--width", type=int, default=620)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--dcn_impl", default="pallas", choices=["xla", "pallas"],
+                        help="pallas: Pallas DCN kernel (offsets clamped to "
+                             "+-2 px, 2.8x; xla: exact unbounded offsets)")
     parser.add_argument("--warp_mode", default="dcn", choices=["dcn", "flow"],
                         help="AFT alignment: exact DCNv2 parity or the "
                              "gather-free TPU-fast flow variant")
@@ -44,7 +47,8 @@ def main():
     from glare_tpu.modules.vqmodel import VQModel
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype, warp_mode=args.warp_mode)
+    netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype, warp_mode=args.warp_mode,
+                              dcn_impl=args.dcn_impl)
     vq = VQModel(dtype=dtype)
 
     b, h, w = args.batch, args.height, args.width

@@ -32,7 +32,9 @@ def define_Flow(opt, step=0, dtype=None):
         return LLFlowVQGAN2(dtype=dtype, **kw)
     if which_model == "VQLLFLOWDeformable":
         warp_mode = opt_get(opt, ["network_G", "warp_mode"], "dcn") or "dcn"
-        return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode, **kw)
+        dcn_impl = opt_get(opt, ["network_G", "dcn_impl"], "xla") or "xla"
+        return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode,
+                                  dcn_impl=dcn_impl, **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")
 
 

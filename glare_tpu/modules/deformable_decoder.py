@@ -35,12 +35,16 @@ class DCNv2Pack(nn.Module):
 
     conv_offset is zero-initialized (reference: deform_conv.py:369-373) so
     the op degenerates to mask=sigmoid(0)=0.5 times a regular conv at init.
+
+    impl: 'xla' (exact, unbounded offsets) or 'pallas' (Pallas kernel with
+    offsets clamped to +-2 px; ~2.5x faster at GLARE shapes, PERF_NOTES.md).
     """
 
     features: int
     deformable_groups: int = 4
     kernel_size: int = 3
     dtype: Dtype = None
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, feat):
@@ -69,6 +73,12 @@ class DCNv2Pack(nn.Module):
             (k, k, C, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.impl == "pallas":
+            from ..ops.dcn_pallas import modulated_deform_conv_pallas
+
+            return modulated_deform_conv_pallas(
+                x, offset, mask, weight, bias, max_offset=2
+            ).astype(x.dtype)
         return modulated_deform_conv(
             x, offset, mask, weight, bias, padding=k // 2
         )
@@ -87,6 +97,7 @@ class WarpBlock(nn.Module):
     dtype: Dtype = None
     warp_mode: str = "dcn"
     flow_max_offset: int = 2
+    dcn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -105,7 +116,8 @@ class WarpBlock(nn.Module):
             flow = flow * self.flow_max_offset
             aligned = flow_warp_align(x_vq, flow, max_offset=self.flow_max_offset)
             return Conv(c, (3, 3), padding=1, dtype=self.dtype, name="post_conv")(aligned)
-        return DCNv2Pack(c, deformable_groups=4, dtype=self.dtype, name="dcn")(x_vq, side)
+        return DCNv2Pack(c, deformable_groups=4, dtype=self.dtype,
+                         impl=self.dcn_impl, name="dcn")(x_vq, side)
 
 
 class Mix(nn.Module):
@@ -142,6 +154,7 @@ class MultiScaleDecoder2(nn.Module):
     z_channels: int = 3
     dtype: Dtype = None
     warp_mode: str = "dcn"
+    dcn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, z, code_decoder_output, enc_feat):
@@ -178,6 +191,7 @@ class MultiScaleDecoder2(nn.Module):
                 )(enc_feat[i_level].astype(wdt), h)
                 x_vq = WarpBlock(
                     dtype=self.dtype, warp_mode=self.warp_mode,
+                    dcn_impl=self.dcn_impl,
                     name=f"warp_{1 - i_level}",
                 )(x_code, h)
                 h = h + x_vq * (jnp.mean(h) / jnp.mean(x_vq))

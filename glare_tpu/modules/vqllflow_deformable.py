@@ -38,6 +38,7 @@ class VQLLFLOWDeformable(nn.Module):
     quant: float = 32.0
     dtype: Dtype = None
     warp_mode: str = "dcn"
+    dcn_impl: str = "xla"
 
     def setup(self):
         self.RRDB = ConEncoder1(dtype=self.dtype)
@@ -49,7 +50,8 @@ class VQLLFLOWDeformable(nn.Module):
             flow_coupling=self.coupling,
         )
         self.deformable_decoder = MultiScaleDecoder2(
-            ch=128, dtype=self.dtype, warp_mode=self.warp_mode
+            ch=128, dtype=self.dtype, warp_mode=self.warp_mode,
+            dcn_impl=self.dcn_impl,
         )
 
     def __call__(self, lr, code_decoder_output=None, x_latent=None, mid_feat=None):

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
-            sem, *, R, G, K, Cg, O, band_rows, band_alloc, seg):
+            shifts, sem, *, R, G, K, Cg, O, band_rows, band_alloc, seg):
     b = pl.program_id(0)
     r = pl.program_id(1)
     s = pl.program_id(2)
@@ -65,36 +65,37 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     def row_body(dr, _):
         drf = dr.astype(jnp.float32) - r_off_f
         row = band[dr]  # [C, 2*seg]
-        # hoist the unaligned lane shifts (the expensive relayouts) out of
-        # the (k, g) loop: 7 shifted copies serve all 36 taps/groups
-        shifts = [row[:, dc:dc + seg] for dc in range(1, 2 * R + 4)]
+        # materialize the unaligned lane shifts into scratch ONCE per row:
+        # an unaligned slice read inside the tap loop costs ~40x (lane
+        # rotation per use, PERF_NOTES.md); aligned scratch reads are free
+        for dc in range(1, 2 * R + 4):
+            shifts[dc - 1] = row[:, dc:dc + seg]
         for k in range(K):
             for g in range(G):
                 gk = g * K + k
-                py = py_ref[0, 0, 0, gk, :]
-                px = px_ref[0, 0, 0, gk, :]
-                w_row = jnp.maximum(0.0, 1.0 - jnp.abs(py - drf))[None, :]
+                py = py_ref[gk, :]
+                px = px_ref[gk, :]
+                # modulation mask folded into the row weight (linear in the
+                # bilinear sum), saving the per-(k,g) post-multiply
+                w_row = (
+                    jnp.maximum(0.0, 1.0 - jnp.abs(py - drf)) * m_ref[gk, :]
+                )[None, :]
                 contrib = jnp.zeros((Cg, seg), jnp.float32)
                 for i, dc in enumerate(range(1, 2 * R + 4)):
                     w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px[None, :] - base - dc))
-                    contrib += shifts[i][g * Cg:(g + 1) * Cg] * w_col
+                    contrib += shifts[i, g * Cg:(g + 1) * Cg, :] * w_col
                 samp[gk * Cg:(gk + 1) * Cg, :] += contrib * w_row
         return 0
 
     jax.lax.fori_loop(0, band_alloc, row_body, 0)
 
-    for k in range(K):
-        for g in range(G):
-            gk = g * K + k
-            m = m_ref[0, 0, 0, gk, :]
-            sampled = samp[gk * Cg:(gk + 1) * Cg, :] * m[None, :]
-            acc[...] += jax.lax.dot_general(
-                sampled, w_ref[gk],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
+    # one MXU contraction over all taps/groups: [KG*Cg, seg]^T @ [KG*Cg, O]
+    acc[...] = jax.lax.dot_general(
+        samp[...], w_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out_ref[0, 0, 0] = acc[...]
 
 
@@ -160,9 +161,10 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     MK = arrange(mk)
     Wk = jnp.transpose(
         weight.astype(jnp.float32).reshape(9, G, Cg, O), (1, 0, 2, 3)
-    ).reshape(G * K, Cg, O)
+    ).reshape(G * K * Cg, O)
 
     grid = (B, H, n_seg)
+    n_h, n_s = H, n_seg
     out = pl.pallas_call(
         functools.partial(
             _kernel, R=R, G=G, K=K, Cg=Cg, O=O, band_rows=band_rows,
@@ -170,11 +172,13 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 48, seg), lambda b, r, s: (b, r, s, 0, 0),
+            # 2-D blocks: reading rows of >2-D block refs is dramatically
+            # slower in Mosaic (PERF_NOTES.md)
+            pl.BlockSpec((48, seg), lambda b, r, s: ((b * n_h + r) * n_s + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 48, seg), lambda b, r, s: (b, r, s, 0, 0),
+            pl.BlockSpec((48, seg), lambda b, r, s: ((b * n_h + r) * n_s + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 48, seg), lambda b, r, s: (b, r, s, 0, 0),
+            pl.BlockSpec((48, seg), lambda b, r, s: ((b * n_h + r) * n_s + s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
             pl.BlockSpec(memory_space=pltpu.ANY),   # xt stays in HBM
@@ -186,6 +190,7 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
             pltpu.VMEM((band_alloc, C, 2 * seg), jnp.float32),
             pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
             pltpu.VMEM((seg, O), jnp.float32),
+            pltpu.VMEM((2 * R + 3, C, seg), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -193,9 +198,9 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         ),
         interpret=interpret,
     )(
-        PY.reshape(B, H, n_seg, 48, seg),
-        PX.reshape(B, H, n_seg, 48, seg),
-        MK.reshape(B, H, n_seg, 48, seg),
+        PY.reshape(B * H * n_seg * 48, seg),
+        PX.reshape(B * H * n_seg * 48, seg),
+        MK.reshape(B * H * n_seg * 48, seg),
         Wk,
         xt,
     )

@@ -134,6 +134,9 @@ def main(default_conf="./confs/LOL.yml"):
 def format_measurements(meas):
     s_out = []
     for k, v in meas.items():
-        v = f"{v:0.4f}" if isinstance(v, float) else v
+        if isinstance(v, float):
+            # annotate per-image, not just per-run: a silent NaN column in the
+            # CSV print-out hides that LPIPS weights were never loaded
+            v = f"{v:0.4f}" if np.isfinite(v) else "NaN (weights missing; set GLARE_LPIPS_NPZ)"
         s_out.append(f"{k}: {v}")
     return ", ".join(s_out)

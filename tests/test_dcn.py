@@ -121,6 +121,75 @@ class TestModulatedDeformConv:
             np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=2e-3)
 
 
+class TestCudaGolden:
+    """glare_tpu op vs the torch-layout CUDA-indexing golden (golden_dcn.py).
+
+    The comparison routes the raw conv_offset channel packing through
+    tools/torch2flax.dcn_offset_permutation, so it validates both the op
+    math (incl. border bilinear weights and mask modulation) and the
+    checkpoint channel mapping against deform_conv_cuda_kernel.cu:571-632.
+    """
+
+    @staticmethod
+    def _torch_and_ours(seed, B=2, H=5, W=6, C=4, O=3, G=2, off_scale=1.5):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.torch2flax import dcn_offset_permutation
+
+        rng = np.random.RandomState(seed)
+        K = 9
+        x_nchw = rng.standard_normal((B, C, H, W)).astype(np.float32)
+        raw = (off_scale * rng.standard_normal((B, 3 * G * K, H, W))).astype(np.float32)
+        w_oihw = (0.2 * rng.standard_normal((O, C, 3, 3))).astype(np.float32)
+        bias = rng.standard_normal((O,)).astype(np.float32)
+
+        # torch DCNv2Pack.forward packing: offset = raw[:2GK], mask = sigmoid(raw[2GK:])
+        off_torch = raw[:, : 2 * G * K]
+        mask_torch = 1.0 / (1.0 + np.exp(-raw[:, 2 * G * K :]))
+
+        # ours via the converter's channel permutation
+        perm = dcn_offset_permutation(G, K)
+        packed = raw[:, perm]  # [B, 3GK, H, W] as [dy | dx | mask]
+        def grp(a):  # [B, GK, H, W] -> [B, H, W, G, K]
+            return a.reshape(B, G, K, H, W).transpose(0, 3, 4, 1, 2)
+        off_ours = np.stack([grp(packed[:, : G * K]), grp(packed[:, G * K : 2 * G * K])], axis=-1)
+        mask_ours = 1.0 / (1.0 + np.exp(-grp(packed[:, 2 * G * K :])))
+
+        x_nhwc = x_nchw.transpose(0, 2, 3, 1)
+        w_hwio = w_oihw.transpose(2, 3, 1, 0)
+        return (x_nchw, off_torch, mask_torch, w_oihw, bias, G), (
+            x_nhwc, off_ours, mask_ours, w_hwio, bias)
+
+    def _check(self, seed, off_scale):
+        from golden_dcn import modulated_deform_conv_golden
+
+        torch_args, ours_args = self._torch_and_ours(seed, off_scale=off_scale)
+        x, off, m, w, b, G = torch_args
+        want = modulated_deform_conv_golden(x, off, m, w, b, deformable_groups=G)
+        got = modulated_deform_conv(*(jnp.asarray(a) for a in ours_args))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-4)
+
+    def test_matches_cuda_golden(self):
+        self._check(seed=0, off_scale=1.5)
+
+    def test_matches_cuda_golden_large_offsets(self):
+        """Out-of-range samples must zero out exactly as the CUDA kernel."""
+        self._check(seed=1, off_scale=40.0)
+
+    def test_golden_agrees_with_naive_oracle(self):
+        """The two independent oracles must agree with each other."""
+        from golden_dcn import modulated_deform_conv_golden
+
+        torch_args, ours_args = self._torch_and_ours(seed=2)
+        x, off, m, w, b, G = torch_args
+        golden = modulated_deform_conv_golden(x, off, m, w, b, deformable_groups=G)
+        naive = modulated_deform_conv_naive(*ours_args)
+        np.testing.assert_allclose(naive.transpose(0, 3, 1, 2), golden, rtol=1e-6, atol=1e-6)
+
+
 class TestDeformConvV1:
     def test_matches_modulated_with_unit_mask(self):
         x, offset, _, weight, bias = make_inputs()

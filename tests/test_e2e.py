@@ -123,6 +123,167 @@ class TestStage3Training:
             np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+class TestReleasedWeightsRehearsal:
+    """Artifact-file rehearsal of the released-weights path (VERDICT #6):
+    torch.save a reference-layout net_G.pth (module.-prefixed state_dict,
+    base_model.py:93-122) and a Lightning-style vqgan.pkl (with decoy loss
+    keys, LLFlow_model.py:41-50 / VQModel_arch.py:64-71), run the
+    tools/torch2flax.py CLI on the *files*, then run the judged paired
+    inference on synthetic images — proving convert -> load -> infer -> CSV
+    works on artifacts, not just in-memory state_dicts."""
+
+    REF = "/root/reference/code"
+
+    @pytest.fixture(scope="class")
+    def torch_artifacts(self, tiny_lol):
+        torch = pytest.importorskip("torch")
+        if not os.path.isdir(self.REF):
+            pytest.skip("reference not mounted")
+        import sys
+        import types
+
+        # reference modules import natsort/torchvision (absent): stub them
+        for name in ["natsort", "torchvision"]:
+            if name not in sys.modules:
+                mod = types.ModuleType(name)
+                if name == "natsort":
+                    mod.natsorted = sorted
+                else:
+                    utils = types.ModuleType("torchvision.utils")
+                    utils.make_grid = utils.save_image = lambda *a, **k: None
+                    mod.utils = utils
+                    sys.modules["torchvision.utils"] = utils
+                sys.modules[name] = mod
+        sys.path.insert(0, self.REF)
+        try:
+            from models.modules.ConditionEncoder import ConEncoder1
+            from models.modules.deformableDecoder_arch import MultiScaleDecoder2
+            from models.modules.encoder_decoder import Decoder, Encoder
+            from models.modules.FlowUpsamplerNet import FlowUpsamplerNet
+            from models.modules.quantize import VectorQuantizer2
+
+            from glare_tpu.options import dict_to_nonedict
+
+            ref_opt = dict_to_nonedict({
+                "scale": 1, "le_curve": False, "sigmoid_output": False,
+                "datasets": {"train": {"GT_size": 256, "quant": 32}},
+                "network_G": {"flow": {
+                    "K": 2, "L": 2, "coupling": "CondAffineSeparatedAndCond",
+                    "additionalFlowNoAffine": 2, "conditionInFeaDim": 64,
+                    "split": {"enable": False},
+                }},
+            })
+
+            def randomize(module, seed, scale=0.05):
+                g = torch.Generator().manual_seed(seed)
+                sd = module.state_dict()
+                for k, v in sd.items():
+                    sd[k] = torch.randn(v.shape, generator=g) * scale
+                module.load_state_dict(sd)
+                return module
+
+            # ---- net_G.pth: stage-3 state_dict, module.-prefixed ----
+            rrdb = randomize(ConEncoder1(opt=ref_opt), 0)
+            fun = randomize(FlowUpsamplerNet(
+                (80, 80, 3), 64, 2,
+                flow_coupling="CondAffineSeparatedAndCond", opt=ref_opt), 1)
+            g = torch.Generator().manual_seed(2)
+            with torch.no_grad():  # invconvs must stay invertible
+                for layer in fun.layers:
+                    layer.invconv.weight.copy_(
+                        torch.linalg.qr(torch.randn(3, 3, generator=g))[0])
+            aft = randomize(MultiScaleDecoder2(
+                ch=128, out_ch=3, ch_mult=(1, 2, 4), num_res_blocks=2,
+                attn_resolutions=[64], resolution=256, z_channels=3), 3)
+            net_g_sd = {}
+            for prefix, mod in [("RRDB", rrdb), ("flowUpsamplerNet", fun),
+                                ("deformable_decoder", aft)]:
+                for k, v in mod.state_dict().items():
+                    net_g_sd[f"module.{prefix}.{k}"] = v
+            net_g_path = tiny_lol / "net_G.pth"
+            torch.save(net_g_sd, str(net_g_path))
+
+            # ---- vqgan.pkl: Lightning-style checkpoint ----
+            enc = randomize(Encoder(
+                ch=128, out_ch=3, ch_mult=(1, 2, 4), num_res_blocks=2,
+                attn_resolutions=[64], dropout=0.0, in_channels=3,
+                resolution=256, z_channels=3, double_z=False), 4)
+            dec = randomize(Decoder(
+                ch=128, out_ch=3, ch_mult=(1, 2, 4), num_res_blocks=2,
+                attn_resolutions=[64], dropout=0.0, in_channels=3,
+                resolution=256, z_channels=3), 5)
+            quant = randomize(VectorQuantizer2(8192, 3, beta=0.25), 6, scale=1.0)
+            qc = randomize(torch.nn.Conv2d(3, 3, 1), 7)
+            pqc = randomize(torch.nn.Conv2d(3, 3, 1), 8)
+            vq_sd = {}
+            for prefix, mod in [("encoder", enc), ("decoder", dec),
+                                ("quantize", quant), ("quant_conv", qc),
+                                ("post_quant_conv", pqc)]:
+                for k, v in mod.state_dict().items():
+                    vq_sd[f"{prefix}.{k}"] = v
+            # decoy training-time keys a real Lightning ckpt carries
+            vq_sd["loss.discriminator.main.0.weight"] = torch.zeros(4, 3, 3, 3)
+            ckpt = {"state_dict": vq_sd, "epoch": 17, "global_step": 123456,
+                    "pytorch-lightning_version": "1.0.8", "callbacks": {},
+                    "optimizer_states": [], "lr_schedulers": []}
+            vqgan_path = tiny_lol / "vqgan.pkl"
+            torch.save(ckpt, str(vqgan_path))
+            return net_g_path, vqgan_path, net_g_sd
+        finally:
+            sys.path.remove(self.REF)
+
+    def test_convert_load_infer_csv_chain(self, tiny_lol, torch_artifacts,
+                                          monkeypatch_module, capsys):
+        import sys
+
+        net_g_path, vqgan_path, net_g_sd = torch_artifacts
+
+        # 1. the converter CLI, on artifact files (drop-in conf semantics:
+        #    .pth/.pkl paths map to sibling .flax files)
+        from tools.torch2flax import main as convert_main
+
+        for kind, src in [("stage3", net_g_path), ("vqgan", vqgan_path)]:
+            dst = os.path.splitext(str(src))[0] + ".flax"
+            monkeypatch_module.setattr(
+                sys, "argv",
+                ["torch2flax", "--kind", kind, "--src", str(src), "--dst", dst])
+            convert_main()
+            assert os.path.exists(dst)
+
+        # 2. judged paired-inference CLI against the converted artifacts
+        conf = write_conf(
+            tiny_lol, 3, name="trehearsal",
+            model_path=str(net_g_path),
+            path={"pretrained_vqgan": str(vqgan_path), "strict_load": True,
+                  "resume_state": None},
+        )
+        monkeypatch_module.chdir(str(tiny_lol))
+        from glare_tpu.cli.infer_paired import main as infer_main
+
+        monkeypatch_module.setattr(sys, "argv", ["infer", "--opt", conf])
+        infer_main(default_conf=conf)
+        out = capsys.readouterr().out
+        assert "using fresh init" not in out  # weights must actually load
+        assert "Mean:" in out
+
+        # 3. CSV written with the metric columns
+        import pandas as pd
+
+        csvs = glob.glob(str(tiny_lol / "results" / "*trehearsal*" / "*.csv"))
+        assert csvs
+        df = pd.read_csv(csvs[0])
+        assert {"PSNR", "SSIM", "LPIPS"} <= set(df.columns)
+        assert len(df) == 2 and np.isfinite(df["PSNR"]).all()
+
+        # 4. converted weights actually landed in the live model params
+        from glare_tpu.cli.infer_paired import load_model
+
+        model, _ = load_model(conf)
+        got = np.asarray(model.params["RRDB"]["color_conv"]["kernel"])
+        want = net_g_sd["module.RRDB.color_conv.weight"].numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestInferenceProtocol:
     def test_paired_inference_loop(self, stage2_run, monkeypatch_module, capsys):
         """Drive the judged CLI loop (pad, log, forward, crop, adjust, PSNR)."""

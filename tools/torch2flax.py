@@ -181,7 +181,12 @@ def convert_flow_step(sd, prefix, has_coupling=True):
     return out
 
 
-def convert_flow_upsampler(sd, prefix="flowUpsamplerNet", n_layers=28):
+def convert_flow_upsampler(sd, prefix="flowUpsamplerNet", n_layers=None):
+    if n_layers is None:  # infer from the checkpoint (e.g. 28 for K=12, L=2)
+        pat = re.compile(re.escape(prefix) + r"\.layers\.(\d+)\.")
+        idxs = {int(m.group(1)) for k in sd for m in [pat.match(k)] if m}
+        assert idxs, f"no {prefix}.layers.* keys in checkpoint"
+        n_layers = max(idxs) + 1
     out = {}
     for i in range(n_layers):
         out[f"layers_{i}"] = convert_flow_step(sd, f"{prefix}.layers.{i}")
@@ -214,7 +219,7 @@ def convert_vqgan(sd):
     return out
 
 
-def convert_stage2(sd, n_layers=28):
+def convert_stage2(sd, n_layers=None):
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
     return {
         "RRDB": convert_cond_encoder(sd, "RRDB"),
@@ -264,7 +269,7 @@ def convert_aft_decoder(sd, prefix="deformable_decoder", num_resolutions=3,
     return out
 
 
-def convert_stage3(sd, n_layers=28):
+def convert_stage3(sd, n_layers=None):
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
     return {
         "RRDB": convert_cond_encoder(sd, "RRDB"),

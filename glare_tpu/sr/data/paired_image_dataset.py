@@ -1,6 +1,10 @@
-"""Paired LQ/GT folder dataset with RIDCP-style pipeline
+"""Paired LQ/GT dataset with RIDCP-style pipeline
 (reference: basicsr/data/data_util.py paired path collection +
-transforms.py paired_random_crop/augment).
+transforms.py paired_random_crop/augment + FileClient io backends).
+
+Path layouts: plain folders, `.lmdb` databases (opt io_backend.type: lmdb,
+see utils/lmdb_util.py), or a meta_info_file listing — matching the
+reference PairedImageDataset's three modes.
 
 Returns NHWC float32 dicts {'lq', 'gt', 'lq_path', 'gt_path'}.
 """
@@ -8,36 +12,18 @@ Returns NHWC float32 dicts {'lq', 'gt', 'lq_path', 'gt_path'}.
 from __future__ import annotations
 
 import os
-import random
 
 import cv2
 import numpy as np
 
 from ..registry import DATASET_REGISTRY
+from ..utils.file_client import FileClient, imfrombytes
 from ...data.lol_dataset import augment, paired_random_crop
-
-
-def paired_paths_from_folder(folders, keys, filename_tmpl="{}"):
-    """Collect paired paths (reference: data_util.py paired_paths_from_folder)."""
-    input_folder, gt_folder = folders
-    input_key, gt_key = keys
-    input_names = sorted(os.listdir(input_folder))
-    gt_names = sorted(os.listdir(gt_folder))
-    assert len(input_names) == len(gt_names), (
-        f"{input_key} and {gt_key} datasets have different number of images: "
-        f"{len(input_names)}, {len(gt_names)}."
-    )
-    paths = []
-    for gt_name in gt_names:
-        basename, ext = os.path.splitext(gt_name)
-        input_name = f"{filename_tmpl.format(basename)}{ext}"
-        paths.append(
-            {
-                f"{input_key}_path": os.path.join(input_folder, input_name),
-                f"{gt_key}_path": os.path.join(gt_folder, gt_name),
-            }
-        )
-    return paths
+from .data_util import (
+    paired_paths_from_folder,
+    paired_paths_from_lmdb,
+    paired_paths_from_meta_info_file,
+)
 
 
 @DATASET_REGISTRY.register()
@@ -47,17 +33,39 @@ class PairedImageDataset:
         self.gt_folder = opt["dataroot_gt"]
         self.lq_folder = opt["dataroot_lq"]
         self.filename_tmpl = opt.get("filename_tmpl", "{}")
-        self.paths = paired_paths_from_folder(
-            [self.lq_folder, self.gt_folder], ["lq", "gt"], self.filename_tmpl
-        )
+        self.io_backend_opt = dict(opt.get("io_backend") or {"type": "disk"})
+        self.file_client = None  # lazy: constructed in the worker process
+
+        if self.io_backend_opt["type"] == "lmdb":
+            self.io_backend_opt["db_paths"] = [self.lq_folder, self.gt_folder]
+            self.io_backend_opt["client_keys"] = ["lq", "gt"]
+            self.paths = paired_paths_from_lmdb(
+                [self.lq_folder, self.gt_folder], ["lq", "gt"]
+            )
+        elif opt.get("meta_info_file"):
+            self.paths = paired_paths_from_meta_info_file(
+                [self.lq_folder, self.gt_folder], ["lq", "gt"],
+                opt["meta_info_file"], self.filename_tmpl,
+            )
+        else:
+            self.paths = paired_paths_from_folder(
+                [self.lq_folder, self.gt_folder], ["lq", "gt"], self.filename_tmpl
+            )
 
     def __len__(self):
         return len(self.paths)
 
+    def _read(self, path, client_key):
+        if self.file_client is None:
+            backend = dict(self.io_backend_opt)
+            self.file_client = FileClient(backend.pop("type"), **backend)
+        img = imfrombytes(self.file_client.get(path, client_key))  # BGR uint8
+        return img[:, :, ::-1].astype(np.float32) / 255.0
+
     def __getitem__(self, index):
         p = self.paths[index]
-        lq = cv2.cvtColor(cv2.imread(p["lq_path"]), cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        gt = cv2.cvtColor(cv2.imread(p["gt_path"]), cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        lq = self._read(p["lq_path"], "lq")
+        gt = self._read(p["gt_path"], "gt")
 
         if self.opt.get("phase") == "train":
             gt_size = self.opt["gt_size"]

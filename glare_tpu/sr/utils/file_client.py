@@ -24,28 +24,68 @@ class HardDiskBackend(BaseStorageBackend):
             return f.read()
 
 
+class _PackDb:
+    """Reader for the portable `.lmdb` fallback layout written by
+    lmdb_util.LmdbMaker when the lmdb package is absent:
+    `data.pack` (concatenated values) + `index.txt` (key\\toffset\\tlength)."""
+
+    def __init__(self, db_path):
+        import mmap
+
+        index_path = f"{db_path}/index.txt"
+        self._index = {}
+        with open(index_path) as f:
+            for line in f:
+                key, off, length = line.rstrip("\n").split("\t")
+                self._index[key] = (int(off), int(length))
+        self._f = open(f"{db_path}/data.pack", "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+
+    def get(self, key):
+        if key not in self._index:
+            return None
+        off, length = self._index[key]
+        return self._mm[off : off + length]
+
+
 class LmdbBackend(BaseStorageBackend):
-    """lmdb backend (reference: file_client.py LmdbBackend). Requires the
-    `lmdb` package."""
+    """lmdb backend (reference: file_client.py LmdbBackend).
+
+    Uses the `lmdb` package for standard data.mdb databases; `.lmdb`
+    directories built by lmdb_util's fallback writer (data.pack) are read
+    without it. A db is opened per client_key, matching the reference's
+    multi-db interface.
+    """
 
     def __init__(self, db_paths, client_keys="default", readonly=True, lock=False,
                  readahead=False, **kwargs):
-        try:
-            import lmdb
-        except ImportError as e:
-            raise ImportError("lmdb backend requires the `lmdb` package") from e
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, str):
             db_paths = [db_paths]
         assert len(client_keys) == len(db_paths)
-        self._client = {
-            k: lmdb.open(p, readonly=readonly, lock=lock, readahead=readahead, **kwargs)
-            for k, p in zip(client_keys, db_paths)
-        }
+        import os.path as osp
+
+        self._client = {}
+        for k, p in zip(client_keys, db_paths):
+            if osp.exists(osp.join(p, "data.pack")):
+                self._client[k] = _PackDb(p)
+            else:
+                try:
+                    import lmdb
+                except ImportError as e:
+                    raise ImportError(
+                        f"{p} is a standard lmdb database; reading it requires "
+                        "the `lmdb` package"
+                    ) from e
+                self._client[k] = lmdb.open(
+                    p, readonly=readonly, lock=lock, readahead=readahead, **kwargs
+                )
 
     def get(self, filepath, client_key="default"):
         client = self._client[client_key]
+        if isinstance(client, _PackDb):
+            return client.get(str(filepath))
         with client.begin(write=False) as txn:
             return txn.get(str(filepath).encode("ascii"))
 

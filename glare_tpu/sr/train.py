@@ -120,6 +120,11 @@ def train_pipeline(root_path=".", argv=None):
 
     tb_logger = None
     if (opt.get("logger") or {}).get("use_tb_logger") and "debug" not in opt["name"]:
+        # wandb first so it can sync_tensorboard (reference: train.py:35-42)
+        if ((opt["logger"].get("wandb") or {}).get("project")) is not None:
+            from .utils.logger import init_wandb_logger
+
+            init_wandb_logger(opt)
         tb_logger = init_tb_logger(os.path.join(opt["path"]["experiments_root"], "tb_logger"))
 
     train_loader, train_sampler, val_loaders, total_epochs, total_iters = (

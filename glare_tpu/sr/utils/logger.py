@@ -89,6 +89,42 @@ def init_tb_logger(log_dir):
         return None
 
 
+def init_wandb_logger(opt):
+    """Sync tensorboard logs to wandb (reference: logger.py:126-143).
+
+    Activates when the `wandb` package is installed (it is not baked into
+    this image); otherwise logs a warning and returns None so training
+    proceeds with tensorboard only.
+    """
+    import logging
+
+    logger = logging.getLogger("glare_tpu.sr")
+    try:
+        import wandb
+    except ImportError:
+        logger.warning(
+            "wandb logger requested (logger.wandb.project) but the wandb "
+            "package is not installed; continuing with tensorboard only"
+        )
+        return None
+
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = (opt["logger"]["wandb"] or {}).get("resume_id")
+    if resume_id:
+        wandb_id = resume_id
+        resume = "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id = wandb.util.generate_id()
+        resume = "never"
+    wandb.init(
+        id=wandb_id, resume=resume, name=opt["name"], config=opt,
+        project=project, sync_tensorboard=True,
+    )
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")
+    return wandb_id
+
+
 def get_env_info():
     import jax
 

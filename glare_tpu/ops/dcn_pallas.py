@@ -36,12 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
-            shifts, sem, *, R, G, K, Cg, O, band_rows, band_alloc, seg):
+            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_rows, band_alloc,
+            seg):
     b = pl.program_id(0)
     r = pl.program_id(1)
     s = pl.program_id(2)
 
     C = G * Cg
+    GK = G * K
+    nsh = 2 * R + 3
     cols = 2 * seg
     # band layout [band_alloc rows, C, 2*seg]: the row axis is untiled, so a
     # fori_loop can index it dynamically. DMA start must be 8-aligned: start
@@ -55,39 +58,55 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     )
     dma.start()
 
-    samp[...] = jnp.zeros_like(samp)
-    acc[...] = jnp.zeros_like(acc)
-    base = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1).astype(jnp.float32)
+    base = jax.lax.broadcasted_iota(jnp.int32, (GK, seg), 1).astype(jnp.float32)
+    px = px_ref[0:GK, :]
+    py = py_ref[0:GK, :]
+    mm = m_ref[0:GK, :]
+    # hoist the bilinear weight surface: it does not depend on the band
+    # contents, so compute it once per grid step instead of per (tap, group,
+    # row) as full-width [GK, seg] VPU ops rather than [1, seg] slices.
+    # pass 1: column hats, replicated across the rows of w2_all
+    for i in range(nsh):
+        w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px - base - (i + 1)))
+        for dr2 in range(band_rows):
+            w2_all[dr2 * nsh + i] = w_col
+    # pass 2: fold row hat x modulation mask in place (mask is linear in the
+    # bilinear sum, so folding here saves the per-(k,g) post-multiply)
+    for dr2 in range(band_rows):
+        w_row = jnp.maximum(0.0, 1.0 - jnp.abs(py - float(dr2))) * mm
+        for i in range(nsh):
+            w2_all[dr2 * nsh + i] = w2_all[dr2 * nsh + i] * w_row
+
     dma.wait()
 
-    r_off_f = r_off.astype(jnp.float32)
-
-    def row_body(dr, _):
-        drf = dr.astype(jnp.float32) - r_off_f
-        row = band[dr]  # [C, 2*seg]
-        # materialize the unaligned lane shifts into scratch ONCE per row:
-        # an unaligned slice read inside the tap loop costs ~40x (lane
-        # rotation per use, PERF_NOTES.md); aligned scratch reads are free
-        for dc in range(1, 2 * R + 4):
-            shifts[dc - 1] = row[:, dc:dc + seg]
-        for k in range(K):
-            for g in range(G):
-                gk = g * K + k
-                py = py_ref[gk, :]
-                px = px_ref[gk, :]
-                # modulation mask folded into the row weight (linear in the
-                # bilinear sum), saving the per-(k,g) post-multiply
-                w_row = (
-                    jnp.maximum(0.0, 1.0 - jnp.abs(py - drf)) * m_ref[gk, :]
-                )[None, :]
-                contrib = jnp.zeros((Cg, seg), jnp.float32)
-                for i, dc in enumerate(range(1, 2 * R + 4)):
-                    w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px[None, :] - base - dc))
-                    contrib += shifts[i, g * Cg:(g + 1) * Cg, :] * w_col
-                samp[gk * Cg:(gk + 1) * Cg, :] += contrib * w_row
+    # hoist the shifted band rows: an unaligned lane slice read inside the
+    # accumulation loop costs ~40x (lane rotation per use, PERF_NOTES.md);
+    # materialize each (row, shift) copy exactly once. Only the band_rows
+    # rows starting at the residue r_off can carry non-zero row hats, so the
+    # loop runs band_rows times, not band_alloc.
+    def mat_body(dr2, _):
+        row = band[dr2 + r_off]  # [C, 2*seg]; dynamic untiled index: cheap
+        for i in range(nsh):
+            shifts_all[dr2 * nsh + i] = row[:, i + 1:i + 1 + seg]
         return 0
 
-    jax.lax.fori_loop(0, band_alloc, row_body, 0)
+    jax.lax.fori_loop(0, band_rows, mat_body, 0)
+
+    # accumulate per (group, tap): a register-carried [Cg, seg] across all
+    # (row, shift) cells, written to `samp` once — no scratch RMW per cell
+    n_cells = band_rows * nsh
+    for g in range(G):
+        for k in range(K):
+            gk = g * K + k
+
+            def cell_body(idx, acc_kg, g=g, gk=gk):
+                sh = shifts_all[idx, g * Cg:(g + 1) * Cg, :]
+                w2 = w2_all[idx, gk:gk + 1, :]
+                return acc_kg + sh * w2
+
+            samp[gk * Cg:(gk + 1) * Cg, :] = jax.lax.fori_loop(
+                0, n_cells, cell_body, jnp.zeros((Cg, seg), jnp.float32)
+            )
 
     # one MXU contraction over all taps/groups: [KG*Cg, seg]^T @ [KG*Cg, O]
     acc[...] = jax.lax.dot_general(
@@ -190,7 +209,8 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
             pltpu.VMEM((band_alloc, C, 2 * seg), jnp.float32),
             pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
             pltpu.VMEM((seg, O), jnp.float32),
-            pltpu.VMEM((2 * R + 3, C, seg), jnp.float32),
+            pltpu.VMEM((band_rows * (2 * R + 3), C, seg), jnp.float32),
+            pltpu.VMEM((band_rows * (2 * R + 3), G * K, seg), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

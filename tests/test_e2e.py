@@ -233,7 +233,7 @@ class TestReleasedWeightsRehearsal:
             sys.path.remove(self.REF)
 
     def test_convert_load_infer_csv_chain(self, tiny_lol, torch_artifacts,
-                                          monkeypatch_module, capsys):
+                                          monkeypatch, capsys):
         import sys
 
         net_g_path, vqgan_path, net_g_sd = torch_artifacts
@@ -244,7 +244,7 @@ class TestReleasedWeightsRehearsal:
 
         for kind, src in [("stage3", net_g_path), ("vqgan", vqgan_path)]:
             dst = os.path.splitext(str(src))[0] + ".flax"
-            monkeypatch_module.setattr(
+            monkeypatch.setattr(
                 sys, "argv",
                 ["torch2flax", "--kind", kind, "--src", str(src), "--dst", dst])
             convert_main()
@@ -257,10 +257,10 @@ class TestReleasedWeightsRehearsal:
             path={"pretrained_vqgan": str(vqgan_path), "strict_load": True,
                   "resume_state": None},
         )
-        monkeypatch_module.chdir(str(tiny_lol))
+        monkeypatch.chdir(str(tiny_lol))
         from glare_tpu.cli.infer_paired import main as infer_main
 
-        monkeypatch_module.setattr(sys, "argv", ["infer", "--opt", conf])
+        monkeypatch.setattr(sys, "argv", ["infer", "--opt", conf])
         infer_main(default_conf=conf)
         out = capsys.readouterr().out
         assert "using fresh init" not in out  # weights must actually load

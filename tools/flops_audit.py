@@ -1,0 +1,138 @@
+"""FLOP audit for stage-3 inference at the 600x400 protocol shape.
+
+Produces the auditable numbers VERDICT r1 asked for: per-component FLOPs
+from XLA's own cost model (`jit(...).lower().compile().cost_analysis()`),
+the implied img/s ceiling at 100% MFU on one v5e chip, and — given a
+measured img/s — the achieved MFU. bench.py imports `stage3_flops` to
+report MFU next to throughput.
+
+Peak used for the ceiling: TPU v5e ~197 TFLOP/s bf16 (public spec,
+jax-ml.github.io/scaling-book hardware table); f32 ~49 TFLOP/s.
+
+Usage:
+  python -m tools.flops_audit [--height 420] [--width 620] [--measured 4.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+V5E_BF16_TFLOPS = 197.0
+V5E_F32_TFLOPS = 49.0
+
+
+def _flops(fn, *args):
+    import jax
+
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0)), cost
+
+
+def build_stage3(height=420, width=620, dtype_name="bfloat16", dcn_impl="pallas"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
+    from glare_tpu.modules.vqmodel import VQModel
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype, dcn_impl=dcn_impl)
+    vq = VQModel(dtype=dtype)
+
+    def init_all(rng):
+        rngs = jax.random.split(rng, 3)
+        init_lr = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        vq_vars = vq.init(rngs[0], init_lr)
+        g_params = netG.init(rngs[1], init_lr, method=VQLLFLOWDeformable.latent_half)["params"]
+        x0, enc0 = netG.apply({"params": g_params}, init_lr, method=VQLLFLOWDeformable.latent_half)
+        _, _, code0 = vq.apply(vq_vars, x0, method=vq.decode)
+        aft_params = netG.init(rngs[2], x0, code0, enc0["mid_feat"],
+                               method=VQLLFLOWDeformable.aft_half)["params"]
+        return {**g_params, **aft_params}, vq_vars
+
+    params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
+    lq = jnp.asarray(np.log(np.clip(
+        np.random.RandomState(0).rand(1, height, width, 3).astype(np.float32), 1e-3, None)))
+    return netG, vq, params, vq_vars, lq
+
+
+def stage3_flops(height=420, width=620, dtype_name="bfloat16", dcn_impl="pallas",
+                 per_component=False):
+    """Total stage-3 forward FLOPs per image (XLA cost model).
+
+    Note: XLA does not see inside Pallas kernels, so the DCN warp FLOPs are
+    added analytically (GEMM 2*P*K*C*O + bilinear select-chain VPU work when
+    dcn_impl == 'pallas').
+    """
+    import jax
+
+    netG, vq, params, vq_vars, lq = build_stage3(height, width, dtype_name, dcn_impl)
+
+    def latent(params, lq):
+        return netG.apply({"params": params}, lq, method=netG.latent_half)
+
+    def decode(vq_vars, x):
+        return vq.apply(vq_vars, x, method=vq.decode)
+
+    def aft(params, x, code, mid):
+        return netG.apply({"params": params}, x, code, mid, method=netG.aft_half)
+
+    f_lat, _ = _flops(latent, params, lq)
+    x, enc = jax.jit(latent)(params, lq)
+    f_dec, _ = _flops(decode, vq_vars, x)
+    dec = jax.jit(decode)(vq_vars, x)
+    f_aft, _ = _flops(aft, params, x, dec[2], enc["mid_feat"])
+
+    # Pallas DCN warps, invisible to the XLA cost model: per warp at
+    # [H, W, C] -> O channels, G groups: GEMM 2*H*W*K*C*O plus the
+    # select-chain bilinear build 2 * H*W * K*G * cells * Cg (cells =
+    # band_rows * (2R+3) with R=2 -> 63).
+    dcn_analytic = 0.0
+    if dcn_impl == "pallas":
+        for (h_, w_, c_, o_) in [(height, width, 128, 128),
+                                 (height // 2, width // 2, 256, 256)]:
+            p_ = h_ * w_
+            gemm = 2 * p_ * 9 * c_ * o_
+            chain = 2 * p_ * 9 * 4 * 63 * (c_ // 4)
+            dcn_analytic += gemm + chain
+    total = f_lat + f_dec + f_aft + dcn_analytic
+    parts = {
+        "latent_half": f_lat,
+        "vq_decode": f_dec,
+        "aft_half(xla)": f_aft,
+        "dcn_pallas_analytic": dcn_analytic,
+    }
+    return (total, parts) if per_component else total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=420)
+    ap.add_argument("--width", type=int, default=620)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dcn_impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--measured", type=float, default=None,
+                    help="measured img/s to convert into MFU")
+    args = ap.parse_args()
+
+    total, parts = stage3_flops(args.height, args.width, args.dtype,
+                                args.dcn_impl, per_component=True)
+    peak = V5E_BF16_TFLOPS if args.dtype == "bfloat16" else V5E_F32_TFLOPS
+    print(f"stage-3 forward @ {args.height}x{args.width} ({args.dtype}, dcn={args.dcn_impl})")
+    for k, v in parts.items():
+        print(f"  {k:24s} {v / 1e12:8.3f} TFLOP")
+    print(f"  {'TOTAL':24s} {total / 1e12:8.3f} TFLOP/img")
+    ceiling = peak * 1e12 / total
+    print(f"v5e {peak:.0f} TFLOP/s peak -> {ceiling:.1f} img/s at 100% MFU")
+    print(f">200 img/s target needs {200 * total / 1e12 / peak * 100:.0f}% MFU "
+          f"on MXU-only accounting")
+    if args.measured:
+        print(f"measured {args.measured} img/s -> MFU {args.measured / ceiling * 100:.1f}%")
+
+
+if __name__ == "__main__":
+    main()

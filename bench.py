@@ -2,23 +2,53 @@
 """Benchmark: stage-3 GLARE inference throughput at the 600x400 protocol
 shape (padded to 620x420 per infer_dataset_lol.py) on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "stage3_infer_600x400" if args.warp_mode == "dcn" else "stage3_infer_600x400_flowwarp", "value": N, "unit": "img/s",
-   "vs_baseline": N / 200.0}
+Prints ONE JSON line, e.g.:
+  {"metric": "stage3_infer_600x400_dcn_clamp2px", "value": N, "unit": "img/s",
+   "vs_baseline": N / 200.0, "mfu": ..., "tflop_per_img": ..., ...}
 
-Baseline: BASELINE.md speed target >200 img/s per v5e chip. bf16 compute,
-Pallas VQ kernel on TPU, batched.
+Metric names are honest about the compute path: the default Pallas DCN
+kernel clamps offsets to +-2 px (a semantic deviation from unbounded
+DCNv2), so its metric carries the `_dcn_clamp2px` suffix; `--dcn_impl xla`
+reports the exact-parity path under the bare name. `--warp_mode flow` is an
+EXPERIMENTAL architecture change (not parity-eligible, see README) and is
+labeled as such.
+
+MFU context: tools/flops_audit.py audits stage-3 at 8.12 TFLOP/img via
+XLA's own cost model, i.e. 24.3 img/s at 100% MFU on one v5e (197 TFLOP/s
+bf16) — the >200 img/s BASELINE.md target exceeds the chip's physics by
+~8x. vs_baseline is still reported against 200; `mfu` reports the fraction
+of the hardware ceiling actually achieved. Re-run
+`python -m tools.flops_audit --train` to refresh FLOPS_AUDIT.json; bench
+reads it when present (falling back to the audited constants below).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# audited by tools/flops_audit.py (XLA cost_analysis + analytic Pallas warp
+# terms); refreshed values land in FLOPS_AUDIT.json which takes precedence
+STAGE3_TFLOP_PER_IMG = {"pallas": 8.12, "xla": 8.12}
+STAGE2_TRAIN_TFLOP_PER_IMG = None  # filled from FLOPS_AUDIT.json when audited
+V5E_BF16_TFLOPS = 197.0
+V5E_F32_TFLOPS = 49.0
+
+
+def _audited_tflop(section, key, default):
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "FLOPS_AUDIT.json")) as f:
+            audit = json.load(f)
+        return float(audit[section]["tflop_per_img"])
+    except (OSError, KeyError, ValueError):
+        return default
 
 
 def main():
@@ -31,10 +61,13 @@ def main():
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--dcn_impl", default="pallas", choices=["xla", "pallas"],
                         help="pallas: Pallas DCN kernel (offsets clamped to "
-                             "+-2 px, 2.8x; xla: exact unbounded offsets)")
+                             "+-2 px — metric name carries the caveat); "
+                             "xla: exact unbounded offsets (parity path)")
     parser.add_argument("--warp_mode", default="dcn", choices=["dcn", "flow"],
-                        help="AFT alignment: exact DCNv2 parity or the "
-                             "gather-free TPU-fast flow variant")
+                        help="AFT alignment: dcn = DCNv2 (reference "
+                             "semantics); flow = EXPERIMENTAL gather-free "
+                             "variant — an architecture change that cannot "
+                             "claim quality parity without retraining")
     parser.add_argument("--mode", default="infer", choices=["infer", "train_stage2"],
                         help="infer = stage-3 inference (headline); "
                              "train_stage2 = flow-NLL training step throughput")
@@ -98,16 +131,26 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_s = args.batch * args.iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "stage3_infer_600x400" if args.warp_mode == "dcn" else "stage3_infer_600x400_flowwarp",
-                "value": round(img_per_s, 3),
-                "unit": "img/s",
-                "vs_baseline": round(img_per_s / 200.0, 4),
-            }
-        )
-    )
+    if args.warp_mode == "flow":
+        metric = "stage3_infer_600x400_flowwarp_experimental"
+    elif args.dcn_impl == "pallas":
+        metric = "stage3_infer_600x400_dcn_clamp2px"
+    else:
+        metric = "stage3_infer_600x400"
+    tflop = _audited_tflop("stage3", "tflop_per_img",
+                           STAGE3_TFLOP_PER_IMG[args.dcn_impl])
+    peak = V5E_BF16_TFLOPS if args.dtype == "bfloat16" else V5E_F32_TFLOPS
+    out = {
+        "metric": metric,
+        "value": round(img_per_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / 200.0, 4),
+        "tflop_per_img": tflop,
+        "mfu": round(img_per_s * tflop / peak, 4),
+        "ceiling_img_s_100mfu": round(peak / tflop, 1),
+        "batch": args.batch,
+    }
+    print(json.dumps(out))
 
 
 def bench_train_stage2(args):
@@ -161,10 +204,19 @@ def bench_train_stage2(args):
     _ = np.asarray(loss)
     dt = time.perf_counter() - t0
     img_per_s = b * args.iters / dt
-    print(json.dumps({
+    out = {
         "metric": "stage2_train_320", "value": round(img_per_s, 3),
         "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
-    }))
+        "batch": b,
+    }
+    tflop = _audited_tflop("stage2_train", "tflop_per_img",
+                           STAGE2_TRAIN_TFLOP_PER_IMG)
+    if tflop:
+        # f32 training step: frame against the f32 MXU peak
+        out["tflop_per_img"] = tflop
+        out["mfu"] = round(img_per_s * tflop / V5E_F32_TFLOPS, 4)
+        out["ceiling_img_s_100mfu"] = round(V5E_F32_TFLOPS / tflop, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -109,6 +109,59 @@ def stage3_flops(height=420, width=620, dtype_name="bfloat16", dcn_impl="pallas"
     return (total, parts) if per_component else total
 
 
+def stage2_train_flops(batch=4, gt_size=320):
+    """Stage-2 training-step FLOPs (VQGAN GT-encode + 28-step flow NLL +
+    grads + adam) per image, from the XLA cost model. Fully XLA (no Pallas
+    ops in stage 2), so cost_analysis covers everything."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from glare_tpu.modules.llflow_vqgan2 import LLFlowVQGAN2
+    from glare_tpu.modules.vqmodel import VQModel
+
+    netG = LLFlowVQGAN2(K=12, L=2)
+    vq = VQModel()
+    b, s = batch, gt_size
+
+    def init_all(rng):
+        rngs = jax.random.split(rng, 2)
+        gt = jnp.zeros((1, s, s, 3), jnp.float32)
+        latent = jnp.zeros((1, s // 4, s // 4, 3), jnp.float32)
+        vq_vars = vq.init(rngs[0], gt)
+        params = netG.init(rngs[1], latent, gt, method=LLFlowVQGAN2.normal_flow)["params"]
+        return params, vq_vars
+
+    params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
+    tx = optax.adam(5e-4, b1=0.9, b2=0.99)
+    opt_state = jax.jit(tx.init)(params)
+
+    def loss_fn(params, vq_vars, lq, gt):
+        h, _ = vq.apply(vq_vars, gt, method=vq.encode)
+        gt_latent = jax.lax.stop_gradient(h)
+        _, nll, _ = netG.apply({"params": params}, gt_latent, lq,
+                               method=LLFlowVQGAN2.normal_flow)
+        return jnp.mean(nll)
+
+    def step(params, opt_state, lq, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, vq_vars, lq, gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    lq = jnp.zeros((b, s, s, 3), jnp.float32)
+    gt = jnp.zeros((b, s, s, 3), jnp.float32)
+    f_step, _ = _flops(step, params, opt_state, lq, gt)
+    return f_step / b
+
+
+def write_audit(path, payload):
+    import json
+
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=420)
@@ -117,6 +170,10 @@ def main():
     ap.add_argument("--dcn_impl", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--measured", type=float, default=None,
                     help="measured img/s to convert into MFU")
+    ap.add_argument("--train", action="store_true",
+                    help="also audit the stage-2 training step @320^2 b4")
+    ap.add_argument("--out", default="FLOPS_AUDIT.json",
+                    help="persist results for bench.py's MFU line ('' skips)")
     args = ap.parse_args()
 
     total, parts = stage3_flops(args.height, args.width, args.dtype,
@@ -132,6 +189,30 @@ def main():
           f"on MXU-only accounting")
     if args.measured:
         print(f"measured {args.measured} img/s -> MFU {args.measured / ceiling * 100:.1f}%")
+
+    payload = {
+        "stage3": {
+            "height": args.height, "width": args.width, "dtype": args.dtype,
+            "dcn_impl": args.dcn_impl,
+            "tflop_per_img": round(total / 1e12, 4),
+            "parts_tflop": {k: round(v / 1e12, 4) for k, v in parts.items()},
+            "v5e_peak_tflops": peak,
+            "ceiling_img_s_100mfu": round(ceiling, 2),
+        },
+    }
+    if args.train:
+        f_train = stage2_train_flops()
+        t_ceiling = V5E_F32_TFLOPS * 1e12 / f_train
+        print(f"stage-2 train step @320^2 b4 (f32): {f_train / 1e12:.3f} TFLOP/img "
+              f"-> {t_ceiling:.1f} img/s at 100% MFU (f32 peak)")
+        payload["stage2_train"] = {
+            "gt_size": 320, "batch": 4, "dtype": "float32",
+            "tflop_per_img": round(f_train / 1e12, 4),
+            "v5e_peak_tflops": V5E_F32_TFLOPS,
+            "ceiling_img_s_100mfu": round(t_ceiling, 2),
+        }
+    if args.out:
+        write_audit(args.out, payload)
 
 
 if __name__ == "__main__":

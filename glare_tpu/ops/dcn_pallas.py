@@ -65,14 +65,15 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     # hoist the bilinear weight surface: it does not depend on the band
     # contents, so compute it once per grid step instead of per (tap, group,
     # row) as full-width [GK, seg] VPU ops rather than [1, seg] slices.
-    # pass 1: column hats, replicated across the rows of w2_all
+    # pass 1: column hats, replicated across the used rows of w2_all (rows
+    # 0 and 2R+4 carry provably-zero row hats — see mat_body)
     for i in range(nsh):
         w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px - base - (i + 1)))
-        for dr2 in range(band_rows):
+        for dr2 in range(1, 2 * R + 4):
             w2_all[dr2 * nsh + i] = w_col
     # pass 2: fold row hat x modulation mask in place (mask is linear in the
     # bilinear sum, so folding here saves the per-(k,g) post-multiply)
-    for dr2 in range(band_rows):
+    for dr2 in range(1, 2 * R + 4):
         w_row = jnp.maximum(0.0, 1.0 - jnp.abs(py - float(dr2))) * mm
         for i in range(nsh):
             w2_all[dr2 * nsh + i] = w2_all[dr2 * nsh + i] * w_row
@@ -81,32 +82,41 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
 
     # hoist the shifted band rows: an unaligned lane slice read inside the
     # accumulation loop costs ~40x (lane rotation per use, PERF_NOTES.md);
-    # materialize each (row, shift) copy exactly once. Only the band_rows
-    # rows starting at the residue r_off can carry non-zero row hats, so the
-    # loop runs band_rows times, not band_alloc.
+    # materialize each (row, shift) copy exactly once. Sample rows are
+    # provably within [1, 2R+3] (py = ky + P0 + clip(d) with ky in [-1,1],
+    # P0 = R+2), so band rows 0 and 2R+4 are never touched — skip them.
     def mat_body(dr2, _):
         row = band[dr2 + r_off]  # [C, 2*seg]; dynamic untiled index: cheap
         for i in range(nsh):
             shifts_all[dr2 * nsh + i] = row[:, i + 1:i + 1 + seg]
         return 0
 
-    jax.lax.fori_loop(0, band_rows, mat_body, 0)
+    jax.lax.fori_loop(1, 2 * R + 4, mat_body, 0)
 
-    # accumulate per (group, tap): a register-carried [Cg, seg] across all
-    # (row, shift) cells, written to `samp` once — no scratch RMW per cell
-    n_cells = band_rows * nsh
+    # accumulate per (group, tap): a register-carried [Cg, seg] across the
+    # statically-valid bilinear support only. For tap (ky, kx) the row hat
+    # is non-zero solely for dr2 in [ky+P0-R, ky+P0+R] and the column hat
+    # solely for shift i in [kx+P0-R-1, kx+P0+R-1] — (2R+1)^2 cells, not
+    # band_rows*nsh: a 2.5x cut of the dominant VPU loop at R=2.
+    span = 2 * R + 1
+    ky_all = [-1, -1, -1, 0, 0, 0, 1, 1, 1]
+    kx_all = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
+    P0 = R + 2
     for g in range(G):
         for k in range(K):
             gk = g * K + k
-
-            def cell_body(idx, acc_kg, g=g, gk=gk):
-                sh = shifts_all[idx, g * Cg:(g + 1) * Cg, :]
-                w2 = w2_all[idx, gk:gk + 1, :]
-                return acc_kg + sh * w2
-
-            samp[gk * Cg:(gk + 1) * Cg, :] = jax.lax.fori_loop(
-                0, n_cells, cell_body, jnp.zeros((Cg, seg), jnp.float32)
-            )
+            row0 = ky_all[k] + P0 - R
+            sh0 = kx_all[k] + P0 - R - 1
+            acc_kg = None
+            for jr in range(span):
+                for js in range(span):
+                    idx = (row0 + jr) * nsh + sh0 + js  # static
+                    term = (
+                        shifts_all[idx, g * Cg:(g + 1) * Cg, :]
+                        * w2_all[idx, gk:gk + 1, :]
+                    )
+                    acc_kg = term if acc_kg is None else acc_kg + term
+            samp[gk * Cg:(gk + 1) * Cg, :] = acc_kg
 
     # one MXU contraction over all taps/groups: [KG*Cg, seg]^T @ [KG*Cg, O]
     acc[...] = jax.lax.dot_general(

@@ -3,10 +3,19 @@
 * :class:`VectorQuantizer2` — the GLARE codebook retrieval
   (quantize.py:271-312): nearest-neighbor lookup, commitment loss
   (legacy beta), straight-through estimator. NHWC in/out.
+  The reference's legacy ``VectorQuantizer`` (quantize.py:9-107, flagged
+  buggy there) is exactly ``VectorQuantizer2(legacy=True)`` — exported as
+  the alias :data:`VectorQuantizer`.
 * :class:`WeightedVectorQuantizer` — the RIDCP weighted variant used by
   stage-1 VQGAN training (dehaze_vq_weight_arch.py:50-131): distances
   reweighted by exp(alpha * w) with a per-code weight, plus gram-matrix
   texture loss against GT indices.
+* :class:`GumbelQuantize` — Gumbel-softmax quantizer
+  (quantize.py:110-209), needs a ``'gumbel'`` rng during training.
+* :class:`EMAVectorQuantizer` — EMA codebook updates via a mutable
+  ``'ema'`` variable collection (quantize.py:331-445; the reference class
+  is broken as shipped — undefined ``codebook_dim``/``num_tokens`` at
+  quantize.py:365-366 — this is the working equivalent).
 
 The argmin rides :mod:`glare_tpu.ops.vq` (fused Pallas kernel on TPU).
 """
@@ -164,3 +173,188 @@ def _gram_loss(x, y):
         return g / (h * w * c)
 
     return jnp.mean((gram(x) - gram(y)) ** 2)
+
+
+def remap_to_used(inds, used, unknown_index, rng=None, re_embed=None):
+    """Map full-codebook indices onto the `used` subset
+    (reference: quantize.py:147-161). `unknown_index` is "random",
+    "extra", or an integer; "random" requires `rng` and `re_embed`."""
+    ishape = inds.shape
+    flat = inds.reshape(ishape[0], -1)
+    match = (flat[:, :, None] == used[None, None, :]).astype(jnp.int32)
+    new = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    unknown = jnp.sum(match, axis=2) < 1
+    if unknown_index == "random":
+        assert rng is not None and re_embed is not None
+        rand = jax.random.randint(rng, new.shape, 0, re_embed, new.dtype)
+        new = jnp.where(unknown, rand, new)
+    else:
+        fill = used.shape[0] if unknown_index == "extra" else int(unknown_index)
+        new = jnp.where(unknown, jnp.int32(fill), new)
+    return new.reshape(ishape)
+
+
+def unmap_to_all(inds, used):
+    """Inverse of :func:`remap_to_used` (reference: quantize.py:163-170);
+    extra tokens collapse to index 0."""
+    ishape = inds.shape
+    flat = inds.reshape(ishape[0], -1)
+    flat = jnp.where(flat >= used.shape[0], 0, flat)
+    return jnp.take(used, flat, axis=0).reshape(ishape)
+
+
+class GumbelQuantize(nn.Module):
+    """Gumbel-softmax quantizer (reference: quantize.py:110-209).
+
+    NHWC in/out. During training (`deterministic=False`) draws Gumbel noise
+    from the ``'gumbel'`` rng stream; at eval the categorical is taken hard
+    (the reference forces hard=True in eval). Returns
+    ``(z_q, kl_diff, (None, None, indices))`` under the VQ interface.
+    """
+
+    num_hiddens: int
+    embedding_dim: int
+    n_embed: int
+    straight_through: bool = True
+    kl_weight: float = 5e-4
+    temp_init: float = 1.0
+    use_vqinterface: bool = True
+    remap: Optional[Any] = None  # array of used indices (np.load'ed)
+    unknown_index: str = "random"
+
+    @nn.compact
+    def __call__(self, z, temp=None, return_logits=False, deterministic=True):
+        embed = self.param(
+            "embed", nn.initializers.normal(1.0), (self.n_embed, self.embedding_dim)
+        )
+        logits = nn.Conv(self.n_embed, (1, 1), name="proj")(z)
+
+        used = None
+        if self.remap is not None:
+            used = jnp.asarray(self.remap, jnp.int32)
+            logits = jnp.take(logits, used, axis=-1)
+
+        hard = self.straight_through if not deterministic else True
+        temp = self.temp_init if temp is None else temp
+
+        if deterministic:
+            y_soft = jax.nn.softmax(logits / temp, axis=-1)
+        else:
+            g = jax.random.gumbel(self.make_rng("gumbel"), logits.shape, logits.dtype)
+            y_soft = jax.nn.softmax((logits + g) / temp, axis=-1)
+        if hard:
+            one_hot = jax.nn.one_hot(
+                jnp.argmax(y_soft, axis=-1), y_soft.shape[-1], dtype=y_soft.dtype
+            )
+            soft_one_hot = y_soft + jax.lax.stop_gradient(one_hot - y_soft)
+        else:
+            soft_one_hot = y_soft
+
+        if self.remap is not None:
+            full = jnp.zeros((*soft_one_hot.shape[:-1], self.n_embed),
+                             soft_one_hot.dtype)
+            soft_one_hot = full.at[..., used].set(soft_one_hot)
+
+        z_q = jnp.einsum("bhwn,nd->bhwd", soft_one_hot, embed)
+
+        # KL to the uniform prior (reference: quantize.py:193-194)
+        qy = jax.nn.softmax(logits, axis=-1)
+        diff = self.kl_weight * jnp.mean(
+            jnp.sum(qy * jnp.log(qy * logits.shape[-1] + 1e-10), axis=-1)
+        )
+
+        ind = jnp.argmax(soft_one_hot, axis=-1).astype(jnp.int32)
+        if self.remap is not None:
+            rng = None if deterministic else self.make_rng("gumbel")
+            unk = self.unknown_index if (deterministic or rng is not None) else "extra"
+            ind = remap_to_used(ind, used, unk, rng=rng, re_embed=used.shape[0])
+        if self.use_vqinterface:
+            if return_logits:
+                return z_q, diff, (None, None, ind), logits
+            return z_q, diff, (None, None, ind)
+        return z_q, diff, ind
+
+    def get_codebook_entry(self, params, indices, shape):
+        """(b*h*w,) indices -> NHWC embeddings (reference: quantize.py:204-209)."""
+        b, h, w, c = shape
+        assert b * h * w == indices.shape[0]
+        indices = indices.reshape(b, h, w)
+        if self.remap is not None:
+            indices = unmap_to_all(indices, jnp.asarray(self.remap, jnp.int32))
+        one_hot = jax.nn.one_hot(indices, self.n_embed, dtype=jnp.float32)
+        return jnp.einsum("bhwn,nd->bhwd", one_hot, params["embed"])
+
+
+class EMAVectorQuantizer(nn.Module):
+    """Nearest-neighbor VQ with exponential-moving-average codebook updates
+    (reference: quantize.py:331-445; the reference class crashes on
+    construction — undefined names at quantize.py:365-366 — this is the
+    working equivalent, with the EMA statistics carried in a mutable
+    ``'ema'`` flax collection so the update stays functional/jit-safe).
+
+    Call with ``mutable=['ema']`` and ``update=True`` during training to
+    apply cluster-size/embed-avg EMA and the Laplace-smoothed weight
+    refresh; the codebook itself is a non-trainable EMA variable.
+    """
+
+    n_embed: int
+    embedding_dim: int
+    beta: float = 0.25
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, z, update=False):
+        init = nn.initializers.normal(1.0)
+        weight = self.variable(
+            "ema", "weight", init, self.make_rng("params") if self.is_initializing() else None,
+            (self.n_embed, self.embedding_dim),
+        )
+        cluster_size = self.variable(
+            "ema", "cluster_size", lambda: jnp.zeros((self.n_embed,), jnp.float32)
+        )
+        embed_avg = self.variable("ema", "embed_avg", lambda: weight.value)
+
+        b, h, w, c = z.shape
+        assert c == self.embedding_dim
+        z_flat = z.reshape(-1, self.embedding_dim).astype(jnp.float32)
+        emb = weight.value.astype(jnp.float32)
+
+        d = (
+            jnp.sum(z_flat ** 2, axis=1, keepdims=True)
+            + jnp.sum(emb ** 2, axis=1)[None, :]
+            - 2.0 * jnp.dot(z_flat, emb.T, preferred_element_type=jnp.float32)
+        )
+        idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+        z_q = jnp.take(emb, idx, axis=0).reshape(z.shape).astype(z.dtype)
+
+        encodings = jax.nn.one_hot(idx, self.n_embed, dtype=jnp.float32)
+        avg_probs = jnp.mean(encodings, axis=0)
+        perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+
+        if update:
+            # EMA cluster size + embedding average (quantize.py:427-434)
+            new_cluster = cluster_size.value * self.decay + jnp.sum(
+                encodings, axis=0
+            ) * (1 - self.decay)
+            embed_sum = jnp.dot(encodings.T, z_flat,
+                                preferred_element_type=jnp.float32)
+            new_avg = embed_avg.value * self.decay + embed_sum * (1 - self.decay)
+            # Laplace-smoothed weight refresh (quantize.py:351-358)
+            n = jnp.sum(new_cluster)
+            smoothed = (new_cluster + self.eps) / (n + self.n_embed * self.eps) * n
+            cluster_size.value = new_cluster
+            embed_avg.value = new_avg
+            weight.value = new_avg / smoothed[:, None]
+
+        loss = self.beta * jnp.mean(
+            (jax.lax.stop_gradient(z_q.astype(jnp.float32)) - z.astype(jnp.float32)) ** 2
+        )
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+        return z_q, loss, (perplexity, encodings, idx.reshape(b, h, w))
+
+
+# reference quantize.py:9-107 ("contains a bug regarding beta; see
+# VectorQuantizer2... can be used wherever VectorQuantizer has been used"):
+# the legacy class IS VectorQuantizer2 with legacy=True.
+VectorQuantizer = VectorQuantizer2

@@ -1,27 +1,35 @@
 """Pallas TPU kernel for modulated deformable convolution (DCNv2).
 
 Replaces the XLA gather formulation in ops/dcn.py for the GLARE hot path
-(3x3, stride 1, pad 1, deformable_groups=4) — XLA's gather lowering on this
-backend runs at ~100 MB/s (PERF_NOTES.md), while in-kernel
-`tpu.dynamic_gather` moves VMEM data at VPU-class speed.
+(3x3, stride 1, pad 1, deformable_groups=4, reference
+deform_conv_cuda_kernel.cu:261-330 semantics) — XLA's gather lowering on
+this backend runs at ~100 MB/s (PERF_NOTES.md), while a static select-chain
+over a DMA'd row band moves at VPU-class speed.
 
-Design (one grid step = one output row x one 128-px column segment):
-  * x is zero-padded by (R+2) and pre-transposed to [B, C, Hp, Wp] once in
-    XLA, so the kernel band DMA lands channels-on-sublanes with no in-kernel
-    transpose. Zero padding reproduces the CUDA boundary semantics exactly
-    (partial bilinear weights at borders, zero outside) for offsets clamped
-    to [-R, R].
-  * per (tap k, group g, corner): the sample row is resolved by a masked
-    select over the (2R+5)-row band; the sample column by a lane-dim
-    `take_along_axis` within two 128-lane windows.
-  * per (k, g): the [Cg, 128px] samples contract with the [Cg, O] weight
-    slice on the MXU, accumulating [128px, O].
+Design (one grid step = `rows_per_step` output rows x one 128-px column
+segment):
+  * x is zero-padded by (R+2) and pre-transposed to [B, Hp, C, Wp] once in
+    XLA, so the kernel band DMA lands channels-on-sublanes with no
+    in-kernel transpose. Zero padding reproduces the CUDA boundary
+    semantics exactly (partial bilinear weights at borders, zero outside)
+    for offsets clamped to [-R, R].
+  * one band DMA serves all rows_per_step output rows (consecutive rows
+    share all but one band row); each (band row, lane shift) slice is
+    materialized into VMEM scratch exactly once per step.
+  * the bilinear hat surface (row hat x col hat x modulation mask) is
+    built per output row as full-width [GK, seg] VPU ops.
+  * per (group g, tap k): the row/column hats are non-zero only on a
+    statically-known (2R+1)^2 cell window around (ky, kx), so the sample
+    accumulation unrolls 25 static-index multiply-adds (R=2) into a
+    register-carried [Cg, seg] — no dynamic scratch addressing, no RMW.
+  * one MXU contraction per row over all taps/groups:
+    [KG*Cg, seg]^T @ [KG*Cg, O].
 
 Offsets are CLAMPED to [-R, R] (max_offset). GLARE's learned offsets are
 small (the reference warns when mean |offset| > 50 but trained values are
 ~1-2 px); the exact unbounded op remains available via ops.dcn.
 
-f32 only in-kernel (dynamic_gather requires index/value bitwidth match).
+f32 only in-kernel (MXU accumulates f32; gathers need bitwidth match).
 """
 
 from __future__ import annotations
@@ -34,21 +42,27 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_KY = [-1, -1, -1, 0, 0, 0, 1, 1, 1]
+_KX = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
+
 
 def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
-            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_rows, band_alloc,
-            seg):
+            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc, seg, rpb):
     b = pl.program_id(0)
-    r = pl.program_id(1)
+    rblk = pl.program_id(1)
     s = pl.program_id(2)
 
     C = G * Cg
     GK = G * K
     nsh = 2 * R + 3
     cols = 2 * seg
+    P0 = R + 2
+    span = 2 * R + 1
     # band layout [band_alloc rows, C, 2*seg]: the row axis is untiled, so a
     # fori_loop can index it dynamically. DMA start must be 8-aligned: start
-    # at the aligned row below r and carry the residue r_off.
+    # at the aligned row below the block's first output row and carry the
+    # residue r_off (uniform across the block's rows).
+    r = rblk * rpb
     r0 = (r // 8) * 8
     r_off = (r - r0).astype(jnp.int32)
     dma = pltpu.make_async_copy(
@@ -59,78 +73,75 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     dma.start()
 
     base = jax.lax.broadcasted_iota(jnp.int32, (GK, seg), 1).astype(jnp.float32)
-    px = px_ref[0:GK, :]
-    py = py_ref[0:GK, :]
-    mm = m_ref[0:GK, :]
-    # hoist the bilinear weight surface: it does not depend on the band
-    # contents, so compute it once per grid step instead of per (tap, group,
-    # row) as full-width [GK, seg] VPU ops rather than [1, seg] slices.
-    # pass 1: column hats, replicated across the used rows of w2_all (rows
-    # 0 and 2R+4 carry provably-zero row hats — see mat_body)
-    for i in range(nsh):
-        w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px - base - (i + 1)))
-        for dr2 in range(1, 2 * R + 4):
-            w2_all[dr2 * nsh + i] = w_col
-    # pass 2: fold row hat x modulation mask in place (mask is linear in the
-    # bilinear sum, so folding here saves the per-(k,g) post-multiply)
-    for dr2 in range(1, 2 * R + 4):
-        w_row = jnp.maximum(0.0, 1.0 - jnp.abs(py - float(dr2))) * mm
-        for i in range(nsh):
-            w2_all[dr2 * nsh + i] = w2_all[dr2 * nsh + i] * w_row
 
     dma.wait()
 
     # hoist the shifted band rows: an unaligned lane slice read inside the
     # accumulation loop costs ~40x (lane rotation per use, PERF_NOTES.md);
-    # materialize each (row, shift) copy exactly once. Sample rows are
-    # provably within [1, 2R+3] (py = ky + P0 + clip(d) with ky in [-1,1],
-    # P0 = R+2), so band rows 0 and 2R+4 are never touched — skip them.
+    # materialize each (row, shift) copy exactly once per step. Sample rows
+    # for output row r+ri are provably within [ri+1, ri+2R+3] (py = ky + P0
+    # + clip(d) with ky in [-1,1], P0 = R+2), so the union over the block
+    # is [1, 2R+3+rpb-1].
     def mat_body(dr2, _):
         row = band[dr2 + r_off]  # [C, 2*seg]; dynamic untiled index: cheap
         for i in range(nsh):
             shifts_all[dr2 * nsh + i] = row[:, i + 1:i + 1 + seg]
         return 0
 
-    jax.lax.fori_loop(1, 2 * R + 4, mat_body, 0)
+    jax.lax.fori_loop(1, 2 * R + 3 + rpb, mat_body, 0)
 
-    # accumulate per (group, tap): a register-carried [Cg, seg] across the
-    # statically-valid bilinear support only. For tap (ky, kx) the row hat
-    # is non-zero solely for dr2 in [ky+P0-R, ky+P0+R] and the column hat
-    # solely for shift i in [kx+P0-R-1, kx+P0+R-1] — (2R+1)^2 cells, not
-    # band_rows*nsh: a 2.5x cut of the dominant VPU loop at R=2.
-    span = 2 * R + 1
-    ky_all = [-1, -1, -1, 0, 0, 0, 1, 1, 1]
-    kx_all = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
-    P0 = R + 2
-    for g in range(G):
-        for k in range(K):
-            gk = g * K + k
-            row0 = ky_all[k] + P0 - R
-            sh0 = kx_all[k] + P0 - R - 1
-            acc_kg = None
-            for jr in range(span):
-                for js in range(span):
-                    idx = (row0 + jr) * nsh + sh0 + js  # static
-                    term = (
-                        shifts_all[idx, g * Cg:(g + 1) * Cg, :]
-                        * w2_all[idx, gk:gk + 1, :]
-                    )
-                    acc_kg = term if acc_kg is None else acc_kg + term
-            samp[gk * Cg:(gk + 1) * Cg, :] = acc_kg
+    for ri in range(rpb):
+        # blocks stack rpb rows of 48 padded sublanes (GK <= 48) each
+        px = px_ref[ri * 48:ri * 48 + GK, :]
+        py = py_ref[ri * 48:ri * 48 + GK, :]
+        mm = m_ref[ri * 48:ri * 48 + GK, :]
+        # bilinear weight surface for this output row: row hat x col hat x
+        # mask as full-width [GK, seg] VPU ops (row indices here are
+        # row-local: dr in [1, 2R+3]).
+        for i in range(nsh):
+            w_col = jnp.maximum(0.0, 1.0 - jnp.abs(px - base - (i + 1)))
+            for dr in range(1, 2 * R + 4):
+                w2_all[dr * nsh + i] = w_col
+        for dr in range(1, 2 * R + 4):
+            w_row = jnp.maximum(0.0, 1.0 - jnp.abs(py - float(dr))) * mm
+            for i in range(nsh):
+                w2_all[dr * nsh + i] = w2_all[dr * nsh + i] * w_row
 
-    # one MXU contraction over all taps/groups: [KG*Cg, seg]^T @ [KG*Cg, O]
-    acc[...] = jax.lax.dot_general(
-        samp[...], w_ref[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[0, 0, 0] = acc[...]
+        # accumulate per (group, tap) over the statically-valid support:
+        # row hat non-zero only for dr in [ky+P0-R, ky+P0+R], col hat only
+        # for shifts i in [kx+P0-R-1, kx+P0+R-1] — (2R+1)^2 static cells.
+        for g in range(G):
+            for k in range(K):
+                gk = g * K + k
+                row0 = _KY[k] + P0 - R
+                sh0 = _KX[k] + P0 - R - 1
+                acc_kg = None
+                for jr in range(span):
+                    for js in range(span):
+                        w2_idx = (row0 + jr) * nsh + sh0 + js       # row-local
+                        sh_idx = (ri + row0 + jr) * nsh + sh0 + js  # block-local
+                        term = (
+                            shifts_all[sh_idx, g * Cg:(g + 1) * Cg, :]
+                            * w2_all[w2_idx, gk:gk + 1, :]
+                        )
+                        acc_kg = term if acc_kg is None else acc_kg + term
+                samp[gk * Cg:(gk + 1) * Cg, :] = acc_kg
+
+        # one MXU contraction over all taps/groups
+        acc[...] = jax.lax.dot_general(
+            samp[...], w_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0, 0, 0, ri] = acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_offset", "interpret",
+                                             "rows_per_step"))
 def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
-                                 max_offset=2, interpret=False):
+                                 max_offset=2, interpret=False,
+                                 rows_per_step=8):
     """DCNv2 with clamped offsets, Pallas kernel. Layouts as ops.dcn:
     x [B,H,W,C], offset [B,H,W,G,K,2], mask [B,H,W,G,K], weight HWIO.
     3x3, stride 1, pad 1 only."""
@@ -142,16 +153,22 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     Cg = C // G
     R = int(max_offset)
     P0 = R + 2
-    band_rows = 2 * R + 5
-    band_alloc = -(-(band_rows + 7) // 8) * 8
+    rpb = int(rows_per_step)
+    # union of sample rows for a block: [1, 2R+3+rpb-1], plus the residue
+    # r_off <= 7 from 8-aligning the DMA start
+    band_alloc = -(-(2 * R + 3 + rpb - 1 + 7 + 1) // 8) * 8
     seg = 128
     n_seg = -(-W // seg)
     Wp_out = n_seg * seg
+    H_pad = -(-H // rpb) * rpb
+    n_rblk = H_pad // rpb
 
-    # pad + transpose once in XLA: [B, C, H + 2P0, Wp_out + 2P0]
-    # right-pad so every segment's 2*seg-wide band DMA stays in bounds
+    # pad + transpose once in XLA: [B, Hp, C, Wp]
+    # right-pad so every segment's 2*seg-wide band DMA stays in bounds;
+    # bottom-pad so the last block's band DMA stays in bounds
     right_pad = (Wp_out + seg) - W - P0
-    bottom_pad = P0 + (band_alloc - band_rows) + 8
+    last_r0 = ((H_pad - rpb) // 8) * 8
+    bottom_pad = max(last_r0 + band_alloc - H - P0, 0) + 8
     xp = jnp.pad(
         x.astype(jnp.float32),
         [(0, 0), (P0, bottom_pad), (P0, right_pad), (0, 0)],
@@ -159,15 +176,12 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     xt = jnp.transpose(xp, (0, 1, 3, 2))  # [B, Hp, C, Wp]
 
     # band-local sample positions per (g, k): local = t + clip(d, -R, R) + P0
-    ky, kx = np.meshgrid(np.arange(3) - 1, np.arange(3) - 1, indexing="ij")
-    ky = jnp.asarray(ky.reshape(K), jnp.float32)
-    kx = jnp.asarray(kx.reshape(K), jnp.float32)
+    ky = jnp.asarray(np.array(_KY), jnp.float32)
+    kx = jnp.asarray(np.array(_KX), jnp.float32)
     off = jnp.clip(offset.astype(jnp.float32), -max_offset, max_offset)
-    # [B, H, W, G, K] -> band-local float positions
+    # [B, H, W, G, K] -> row-local float positions (row hat evaluated
+    # against dr in [1, 2R+3])
     pyl = ky[None, None, None, None, :] + off[..., 0] + P0
-    # px is segment-local: col p within segment + tx + dx + P0, folded into
-    # the per-pixel base by the kernel's col iota? -> precompute relative to
-    # segment start instead: local col = (p % seg) + tx + dx + P0
     col_in_seg = jnp.arange(W, dtype=jnp.float32) % seg
     pxl = (
         col_in_seg[None, None, :, None, None]
@@ -178,12 +192,16 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     mk = mask.astype(jnp.float32)
 
     def arrange(a):
-        # [B, H, W, G, K] -> [B, H, n_seg, 48, seg] (g*K+k on sublanes)
-        a = jnp.pad(a, [(0, 0), (0, 0), (0, Wp_out - W), (0, 0), (0, 0)])
-        a = a.reshape(B, H, n_seg, seg, G * K)
-        a = jnp.transpose(a, (0, 1, 2, 4, 3))
+        # [B, H, W, G, K] -> [B*n_rblk*n_seg, rpb*48, seg] blocks
+        # (g*K+k on sublanes; rpb rows stacked per block)
+        a = jnp.pad(a, [(0, 0), (0, H_pad - H), (0, Wp_out - W), (0, 0), (0, 0)])
+        a = a.reshape(B, H_pad, n_seg, seg, G * K)
+        a = jnp.transpose(a, (0, 1, 2, 4, 3))  # [B, H_pad, n_seg, GK, seg]
         pad_rows = 48 - G * K
-        return jnp.pad(a, [(0, 0)] * 3 + [(0, pad_rows), (0, 0)])
+        a = jnp.pad(a, [(0, 0)] * 3 + [(0, pad_rows), (0, 0)])
+        a = a.reshape(B, n_rblk, rpb, n_seg, 48, seg)
+        a = jnp.transpose(a, (0, 1, 3, 2, 4, 5))  # [B, n_rblk, n_seg, rpb, 48, seg]
+        return a.reshape(B * n_rblk * n_seg * rpb * 48, seg)
 
     PY = arrange(pyl)
     PX = arrange(pxl)
@@ -192,50 +210,51 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         weight.astype(jnp.float32).reshape(9, G, Cg, O), (1, 0, 2, 3)
     ).reshape(G * K * Cg, O)
 
-    grid = (B, H, n_seg)
-    n_h, n_s = H, n_seg
+    grid = (B, n_rblk, n_seg)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, R=R, G=G, K=K, Cg=Cg, O=O, band_rows=band_rows,
-            band_alloc=band_alloc, seg=seg
+            _kernel, R=R, G=G, K=K, Cg=Cg, O=O,
+            band_alloc=band_alloc, seg=seg, rpb=rpb,
         ),
         grid=grid,
         in_specs=[
             # 2-D blocks: reading rows of >2-D block refs is dramatically
             # slower in Mosaic (PERF_NOTES.md)
-            pl.BlockSpec((48, seg), lambda b, r, s: ((b * n_h + r) * n_s + s, 0),
+            pl.BlockSpec((rpb * 48, seg),
+                         lambda b, r, s: ((b * n_rblk + r) * n_seg + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, seg), lambda b, r, s: ((b * n_h + r) * n_s + s, 0),
+            pl.BlockSpec((rpb * 48, seg),
+                         lambda b, r, s: ((b * n_rblk + r) * n_seg + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, seg), lambda b, r, s: ((b * n_h + r) * n_s + s, 0),
+            pl.BlockSpec((rpb * 48, seg),
+                         lambda b, r, s: ((b * n_rblk + r) * n_seg + s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
             pl.BlockSpec(memory_space=pltpu.ANY),   # xt stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, seg, O), lambda b, r, s: (b, r, s, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, rpb, seg, O),
+                               lambda b, r, s: (b, r, s, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, n_seg, seg, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_rblk, n_seg, rpb, seg, O),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((band_alloc, C, 2 * seg), jnp.float32),
             pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
             pltpu.VMEM((seg, O), jnp.float32),
-            pltpu.VMEM((band_rows * (2 * R + 3), C, seg), jnp.float32),
-            pltpu.VMEM((band_rows * (2 * R + 3), G * K, seg), jnp.float32),
+            pltpu.VMEM(((2 * R + 3 + rpb) * (2 * R + 3), C, seg), jnp.float32),
+            pltpu.VMEM(((2 * R + 4) * (2 * R + 3), G * K, seg), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        PY.reshape(B * H * n_seg * 48, seg),
-        PX.reshape(B * H * n_seg * 48, seg),
-        MK.reshape(B * H * n_seg * 48, seg),
-        Wk,
-        xt,
-    )
+    )(PY, PX, MK, Wk, xt)
 
-    out = out.reshape(B, H, n_seg * seg, O)[:, :, :W, :]
+    # [B, n_rblk, n_seg, rpb, seg, O] -> [B, H, W, O]
+    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H_pad, n_seg * seg, O
+    )[:, :H, :W, :]
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)

@@ -170,15 +170,25 @@ class AttnBlock(nn.Module):
     (reference: encoder_decoder.py:140-192).
 
     Softmax and the attention matmuls accumulate in f32. Beyond
-    `chunk_threshold` tokens the query axis is processed in chunks
-    (lax.map) so the [n, n] attention matrix never fully materializes —
-    at 600x400 protocol inputs the latent has ~16k tokens and a dense
-    f32 matrix costs ~1 GB per block, which collapses batched throughput.
+    `chunk_threshold` tokens the [n, n] attention matrix never fully
+    materializes — at 600x400 protocol inputs the latent has ~16k tokens
+    and a dense f32 matrix costs ~1 GB per block, which collapses batched
+    throughput. The default large-n path is a lax.map query-chunk loop.
+
+    `use_flash=True` switches the large-n path to the stock Pallas
+    flash-attention kernel (online softmax, tokens padded to the 512 query
+    block and masked via segment ids — verified 2.6e-4 vs the dense
+    reference). Isolated it wins (5.6 vs 8.2 ms at 16k tokens, d=512) but
+    IN-GRAPH it regresses stage-3 end-to-end ~30% (PERF_NOTES.md: XLA
+    fuses the chunked matmuls with surrounding ops and overlaps them;
+    the opaque pallas_call plus pad/unpad copies serialize) — so it stays
+    opt-in, off by default.
     """
 
     dtype: Dtype = None
     chunk_threshold: int = 8192
     q_chunk: int = 2048
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -194,7 +204,31 @@ class AttnBlock(nn.Module):
         v = v.reshape(b, n, c)
         scale = int(c) ** -0.5
 
-        if n <= self.chunk_threshold:
+        flash_ok = (
+            self.use_flash
+            and n > self.chunk_threshold
+            and jax.devices()[0].platform == "tpu"
+            and c % 128 == 0
+        )
+        if flash_ok:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            n_pad = -(-n // 512) * 512
+            pad = n_pad - n
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))[:, None]
+            kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))[:, None]
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))[:, None]
+            seg = jnp.concatenate(
+                [jnp.ones((b, n), jnp.int32), jnp.zeros((b, pad), jnp.int32)], 1
+            )
+            out = flash_attention(
+                qp, kp, vp, segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=scale
+            )
+            out = out[:, 0, :n, :].astype(x.dtype)
+        elif n <= self.chunk_threshold:
             attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
             attn = jax.nn.softmax(attn * scale, axis=-1)
             out = jnp.einsum(

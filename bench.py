@@ -53,7 +53,9 @@ def _audited_tflop(section, key, default):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--batch", type=int, default=8,
+                        help="throughput batch (the headline is img/s, not "
+                             "latency; B=8 beats B=1 on one chip)")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--height", type=int, default=420)
@@ -104,13 +106,22 @@ def main():
 
     params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
 
-    @jax.jit
+    # Three chained jits instead of one fused graph: measured 36% faster at
+    # B=1 and 14% at B=8 on this backend (tools/bench_components.py) — the
+    # monolithic jit schedules worse than the parts and the async dispatch
+    # queue pipelines consecutive dispatches. Intermediates stay on device.
+    latent_half = jax.jit(
+        lambda p, x: netG.apply({"params": p}, x, method=netG.latent_half)
+    )
+    vq_decode = jax.jit(lambda v, x: vq.apply(v, x, method=vq.decode))
+    aft_half = jax.jit(
+        lambda p, x, c, m: netG.apply({"params": p}, x, c, m, method=netG.aft_half)
+    )
+
     def forward(params, vq_vars, lq):
-        x, lr_enc = netG.apply({"params": params}, lq, method=netG.latent_half)
-        _, _, code_out = vq.apply(vq_vars, x, method=vq.decode)
-        return netG.apply(
-            {"params": params}, x, code_out, lr_enc["mid_feat"], method=netG.aft_half
-        )
+        x, lr_enc = latent_half(params, lq)
+        _, _, code_out = vq_decode(vq_vars, x)
+        return aft_half(params, x, code_out, lr_enc["mid_feat"])
 
     lq = jnp.asarray(
         np.log(np.clip(np.random.RandomState(0).rand(b, h, w, 3).astype(np.float32), 1e-3, None))

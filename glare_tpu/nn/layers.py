@@ -12,6 +12,7 @@ kernel and bias — replicated here so training-from-scratch dynamics match.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
@@ -188,7 +189,8 @@ class AttnBlock(nn.Module):
     dtype: Dtype = None
     chunk_threshold: int = 8192
     q_chunk: int = 2048
-    use_flash: bool = False
+    # GLARE_ATTN_FLASH=1 flips the default at import time (experiment switch)
+    use_flash: bool = os.environ.get("GLARE_ATTN_FLASH", "0") == "1"
 
     @nn.compact
     def __call__(self, x):

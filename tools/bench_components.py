@@ -72,8 +72,17 @@ def main():
     t_aft = _time(aft, (params, x, dec[2], enc["mid_feat"]), args.iters,
                   label="aft_half (AFT + 2x DCN)")
     t_full = _time(full, (params, vq_vars, lq), args.iters, label="FULL fused")
+
+    def split(p, v, x):
+        z, enc = latent(p, x)
+        _, _, code = decode(v, z)
+        return aft(p, z, code, enc["mid_feat"])
+
+    t_split = _time(split, (params, vq_vars, lq), args.iters,
+                    label="FULL split (3 dispatches)")
     print(f"  {'sum of parts':28s} {(t_lat + t_dec + t_aft) * 1e3:8.1f} ms")
-    print(f"  full throughput: {args.batch / t_full:.2f} img/s")
+    print(f"  full throughput: fused {args.batch / t_full:.2f} img/s | "
+          f"split {args.batch / t_split:.2f} img/s")
 
 
 if __name__ == "__main__":

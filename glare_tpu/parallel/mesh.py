@@ -28,6 +28,79 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_2d(
+    n_data: int, n_model: int, axis_names: tuple = ("data", "model")
+) -> Mesh:
+    """2-D device mesh for hybrid data x model sharding. On real hardware the
+    device order should follow the ICI topology (jax.devices() already does on
+    a TPU slice), so the inner 'model' axis rides the fastest links."""
+    devs = jax.devices()[: n_data * n_model]
+    return Mesh(np.asarray(devs).reshape(n_data, n_model), axis_names)
+
+
+def auto_shardings(tree, mesh: Mesh, axis_names=("data",), min_size: int = 2 ** 12):
+    """FSDP/TP-style parameter sharding rule: for each leaf, assign each mesh
+    axis (in order) to the largest still-unassigned array dim divisible by
+    that axis' size. Small leaves (< min_size elements) stay replicated —
+    the all-gather latency would dominate any memory win.
+
+    This is the ZeRO-3/FSDP analogue done the XLA way: parameters and
+    optimizer state live sharded; the SPMD partitioner inserts the
+    all-gathers before use and reduce-scatters on the gradients — no
+    hand-written collectives (reference's distribution surface is
+    NCCL DDP, basicsr/utils/dist_util.py; this goes beyond it).
+    """
+
+    def rule(x):
+        if not hasattr(x, "shape") or x.size < min_size:
+            return NamedSharding(mesh, P())
+        spec = [None] * x.ndim
+        taken = set()
+        for ax_name in axis_names:
+            ax_size = mesh.shape[ax_name]
+            cands = [
+                d
+                for d in range(x.ndim)
+                if d not in taken and x.shape[d] % ax_size == 0 and x.shape[d] > 1
+            ]
+            if not cands:
+                continue
+            d = max(cands, key=lambda d: x.shape[d])
+            spec[d] = ax_name
+            taken.add(d)
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(rule, tree)
+
+
+def make_fsdp_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    params,
+    opt_state,
+    n_batch_args: int = 2,
+    data_axis: str = "data",
+    param_axes: Optional[tuple] = None,
+):
+    """Wrap (params, opt_state, *batch) -> (params, opt_state, loss) so that
+    params + optimizer state are FSDP-sharded (see auto_shardings) and the
+    batch is sharded over the data axis. Returns (jitted_step, shardings)
+    where shardings = (param_sh, opt_sh, batch_sh) for device_put-ing inputs.
+    """
+    if param_axes is None:
+        param_axes = tuple(n for n in mesh.axis_names)
+    param_sh = auto_shardings(params, mesh, axis_names=param_axes)
+    opt_sh = auto_shardings(opt_state, mesh, axis_names=param_axes)
+    batch_sh = NamedSharding(mesh, P(data_axis))
+
+    step = jax.jit(
+        step_fn,
+        in_shardings=(param_sh, opt_sh) + (batch_sh,) * n_batch_args,
+        out_shardings=(param_sh, opt_sh, NamedSharding(mesh, P())),
+    )
+    return step, (param_sh, opt_sh, batch_sh)
+
+
 def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 

@@ -93,10 +93,21 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     epsilon: float = 1e-6
+    # GLARE_GN_BF16=1: keep the IO in the network dtype (stats still f32 via
+    # explicit accumulation) — halves the 2-pass norm traffic per block
+    bf16_io: bool = os.environ.get("GLARE_GN_BF16", "0") == "1"
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        if self.bf16_io and x.dtype == jnp.bfloat16:
+            # flax computes the mean/var in f32 regardless of `dtype`
+            # (normalization._compute_stats), so this only changes the IO
+            # precision, and the param tree is identical to the f32 path
+            return nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=self.epsilon,
+                dtype=jnp.bfloat16,
+            )(x)
         y = nn.GroupNorm(
             num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32
         )(x.astype(jnp.float32))
@@ -191,6 +202,10 @@ class AttnBlock(nn.Module):
     q_chunk: int = 2048
     # GLARE_ATTN_FLASH=1 flips the default at import time (experiment switch)
     use_flash: bool = os.environ.get("GLARE_ATTN_FLASH", "0") == "1"
+    # store the softmax'd attention matrix in bf16 (max/sum still f32-
+    # accumulated): halves the HBM traffic of the [n, n] materialization,
+    # which is what bounds the chunked path at 16k tokens
+    softmax_bf16: bool = os.environ.get("GLARE_ATTN_MAT_BF16", "0") == "1"
 
     @nn.compact
     def __call__(self, x):
@@ -246,7 +261,14 @@ class AttnBlock(nn.Module):
 
             def one_chunk(q_blk):
                 a = jnp.einsum("bqc,bkc->bqk", q_blk, k, preferred_element_type=jnp.float32)
-                a = jax.nn.softmax(a * scale, axis=-1)
+                if self.softmax_bf16:
+                    a = a * scale
+                    m = jnp.max(a, axis=-1, keepdims=True)
+                    e = jnp.exp(a - m).astype(jnp.bfloat16)
+                    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+                    a = e / s.astype(jnp.bfloat16)
+                else:
+                    a = jax.nn.softmax(a * scale, axis=-1)
                 return jnp.einsum(
                     "bqk,bkc->bqc", a.astype(v.dtype), v,
                     preferred_element_type=jnp.float32,

@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..modules.losses import VGG16Features, load_vgg16_params
+
 from .registry import LOSS_REGISTRY
 
 
@@ -84,21 +84,28 @@ class WeightedTVLoss(L1Loss):
 
 @LOSS_REGISTRY.register()
 class PerceptualLoss:
-    """VGG16 multi-tap perceptual + optional gram-style loss
-    (reference: losses.py PerceptualLoss; relu taps, criterion l1/l2).
+    """VGG multi-tap perceptual + optional gram-style loss
+    (reference: losses.py PerceptualLoss — layer_weights keyed by VGG layer
+    name, vgg_type/use_input_norm/range_norm, criterion l1/l2/fro).
 
-    Weights come from GLARE_VGG16_NPZ (see modules/losses.py); absent
-    weights fall back to a fixed random VGG (flagged, non-parity).
+    Features come from archs.vgg_arch.VGGFeatureExtractor; weights from
+    GLARE_VGG_NPZ (absent weights fall back to a fixed random VGG —
+    flagged, non-parity).
     """
 
     def __init__(
         self,
         layer_weights: Optional[Dict[str, float]] = None,
+        vgg_type: str = "vgg19",
+        use_input_norm: bool = True,
+        range_norm: bool = False,
         perceptual_weight: float = 1.0,
         style_weight: float = 0.0,
         criterion: str = "l1",
         **_,
     ):
+        from .archs.vgg_arch import VGGFeatureExtractor, load_vgg_params
+
         self.layer_weights = layer_weights or {
             "relu1_2": 1.0,
             "relu2_2": 1.0,
@@ -107,15 +114,21 @@ class PerceptualLoss:
         self.perceptual_weight = perceptual_weight
         self.style_weight = style_weight
         self.criterion = criterion
-        self.module = VGG16Features()
-        self.params = load_vgg16_params()
-        self._tap_names = ["relu1_2", "relu2_2", "relu3_3"]
+        taps = list(self.layer_weights)
+        self.module = VGGFeatureExtractor(
+            layer_name_list=taps, vgg_type=vgg_type,
+            use_input_norm=use_input_norm, range_norm=range_norm,
+        )
+        self.params = load_vgg_params(vgg_type, taps)
+        self._tap_names = taps
 
     def _crit(self, a, b):
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
         if self.criterion == "l1":
             return jnp.mean(jnp.abs(a - b))
+        if self.criterion == "fro":
+            return jnp.linalg.norm(a - b)
         return jnp.mean((a - b) ** 2)
 
     @staticmethod
@@ -131,14 +144,16 @@ class PerceptualLoss:
         style = None
         if self.perceptual_weight > 0:
             percep = 0.0
-            for name, a, b in zip(self._tap_names, fp, fg):
-                percep = percep + self.layer_weights.get(name, 1.0) * self._crit(a, b)
+            for name in self._tap_names:
+                percep = percep + self.layer_weights[name] * self._crit(
+                    fp[name], fg[name]
+                )
             percep = percep * self.perceptual_weight
         if self.style_weight > 0:
             style = 0.0
-            for name, a, b in zip(self._tap_names, fp, fg):
-                style = style + self.layer_weights.get(name, 1.0) * self._crit(
-                    self._gram(a), self._gram(b)
+            for name in self._tap_names:
+                style = style + self.layer_weights[name] * self._crit(
+                    self._gram(fp[name]), self._gram(fg[name])
                 )
             style = style * self.style_weight
         return percep, style

@@ -53,9 +53,11 @@ def _audited_tflop(section, key, default):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=8,
-                        help="throughput batch (the headline is img/s, not "
-                             "latency; B=8 beats B=1 on one chip)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="throughput batch; defaults per mode: infer 8 "
+                             "(B=8 beats B=1 on one chip — the headline is "
+                             "img/s, not latency), train_stage2 4, "
+                             "train_stage3 2 (the shipped conf batches)")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--height", type=int, default=420)
@@ -70,13 +72,20 @@ def main():
                              "semantics); flow = EXPERIMENTAL gather-free "
                              "variant — an architecture change that cannot "
                              "claim quality parity without retraining")
-    parser.add_argument("--mode", default="infer", choices=["infer", "train_stage2"],
+    parser.add_argument("--mode", default="infer",
+                        choices=["infer", "train_stage2", "train_stage3"],
                         help="infer = stage-3 inference (headline); "
-                             "train_stage2 = flow-NLL training step throughput")
+                             "train_stage2 = flow-NLL training step; "
+                             "train_stage3 = AFT training step (l1+percep+"
+                             "msssim, frozen flow/VQ, XLA DCN)")
     args = parser.parse_args()
 
     if args.mode == "train_stage2":
         return bench_train_stage2(args)
+    if args.mode == "train_stage3":
+        return bench_train_stage3(args)
+    if args.batch is None:
+        args.batch = 8
 
     from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
     from glare_tpu.modules.vqmodel import VQModel
@@ -174,7 +183,7 @@ def bench_train_stage2(args):
 
     netG = LLFlowVQGAN2(K=12, L=2)
     vq = VQModel()
-    b, s = max(args.batch, 4), 320
+    b, s = args.batch or 4, 320
 
     def init_all(rng):
         rngs = jax.random.split(rng, 2)
@@ -224,6 +233,38 @@ def bench_train_stage2(args):
                            STAGE2_TRAIN_TFLOP_PER_IMG)
     if tflop:
         # f32 training step: frame against the f32 MXU peak
+        out["tflop_per_img"] = tflop
+        out["mfu"] = round(img_per_s * tflop / V5E_F32_TFLOPS, 4)
+        out["ceiling_img_s_100mfu"] = round(V5E_F32_TFLOPS / tflop, 1)
+    print(json.dumps(out))
+
+
+def bench_train_stage3(args):
+    """Stage-3 AFT training throughput at the shipped conf's shapes
+    (train_stage3_LOL.yml: GT_size 256, batch 2; bigger --batch allowed)."""
+    from tools.flops_audit import build_stage3_train
+
+    b = args.batch or 2  # shipped conf batch (train_stage3_LOL.yml:34)
+    step, params, opt_state, lq, gt = build_stage3_train(batch=b)
+
+    step = jax.jit(step)
+    for _ in range(args.warmup):
+        params, opt_state, loss = step(params, opt_state, lq, gt)
+    _ = np.asarray(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, opt_state, loss = step(params, opt_state, lq, gt)
+    _ = np.asarray(loss)
+    dt = time.perf_counter() - t0
+    img_per_s = b * args.iters / dt
+    out = {
+        "metric": "stage3_train_256", "value": round(img_per_s, 3),
+        "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
+        "batch": b,
+    }
+    tflop = _audited_tflop("stage3_train", "tflop_per_img", None)
+    if tflop:
         out["tflop_per_img"] = tflop
         out["mfu"] = round(img_per_s * tflop / V5E_F32_TFLOPS, 4)
         out["ceiling_img_s_100mfu"] = round(V5E_F32_TFLOPS / tflop, 1)

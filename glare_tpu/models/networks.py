@@ -33,8 +33,12 @@ def define_Flow(opt, step=0, dtype=None):
     if which_model == "VQLLFLOWDeformable":
         warp_mode = opt_get(opt, ["network_G", "warp_mode"], "dcn") or "dcn"
         dcn_impl = opt_get(opt, ["network_G", "dcn_impl"], "xla") or "xla"
+        # remat the AFT decoder blocks when training (stage-3 @256^2 b2
+        # otherwise exceeds one v5e's HBM); no-op for inference graphs
+        remat = opt_get(opt, ["network_G", "remat"],
+                        bool(opt.get("is_train")))
         return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode,
-                                  dcn_impl=dcn_impl, **kw)
+                                  dcn_impl=dcn_impl, remat=bool(remat), **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")
 
 

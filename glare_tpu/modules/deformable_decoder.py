@@ -155,29 +155,35 @@ class MultiScaleDecoder2(nn.Module):
     dtype: Dtype = None
     warp_mode: str = "dcn"
     dcn_impl: str = "xla"
+    # per-block rematerialization for training memory (see
+    # vqllflow_deformable.VQLLFLOWDeformable.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, code_decoder_output, enc_feat):
+        RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        AB = nn.remat(AttnBlock) if self.remat else AttnBlock
+        WB = nn.remat(WarpBlock) if self.remat else WarpBlock
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_resolutions - 1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)
 
         h = Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(dropout=self.dropout, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=self.dropout, dtype=self.dtype, name="mid_block_2")(h)
+        h = RB(dropout=self.dropout, dtype=self.dtype, name="mid_block_1")(h)
+        h = AB(dtype=self.dtype, name="mid_attn_1")(h)
+        h = RB(dropout=self.dropout, dtype=self.dtype, name="mid_block_2")(h)
 
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
+                h = RB(
                     out_channels=block_out,
                     dropout=self.dropout,
                     dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AB(dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
 
             if i_level != 2:
                 # the reference forces f32 here because its CUDA DCN ext has
@@ -189,7 +195,7 @@ class MultiScaleDecoder2(nn.Module):
                 h = Mix(
                     m=-1.0 if i_level == 1 else -0.6, name=f"mix_{1 - i_level}"
                 )(enc_feat[i_level].astype(wdt), h)
-                x_vq = WarpBlock(
+                x_vq = WB(
                     dtype=self.dtype, warp_mode=self.warp_mode,
                     dcn_impl=self.dcn_impl,
                     name=f"warp_{1 - i_level}",

@@ -39,6 +39,11 @@ class VQLLFLOWDeformable(nn.Module):
     dtype: Dtype = None
     warp_mode: str = "dcn"
     dcn_impl: str = "xla"
+    # rematerialize the AFT decoder blocks during training: the stage-3
+    # train step at the shipped conf (256^2, b=2) otherwise exceeds one
+    # v5e's 16 GB HBM (the DCN backward's padding-expanded im2col temps) —
+    # remat trades those for recompute
+    remat: bool = False
 
     def setup(self):
         self.RRDB = ConEncoder1(dtype=self.dtype)
@@ -51,7 +56,7 @@ class VQLLFLOWDeformable(nn.Module):
         )
         self.deformable_decoder = MultiScaleDecoder2(
             ch=128, dtype=self.dtype, warp_mode=self.warp_mode,
-            dcn_impl=self.dcn_impl,
+            dcn_impl=self.dcn_impl, remat=self.remat,
         )
 
     def __call__(self, lr, code_decoder_output=None, x_latent=None, mid_feat=None):

@@ -154,6 +154,89 @@ def stage2_train_flops(batch=4, gt_size=320):
     return f_step / b
 
 
+def build_stage3_train(batch=2, gt_size=256):
+    """Stage-3 AFT training-step ingredients at the shipped conf's shapes
+    (train_stage3_LOL.yml: GT_size 256, batch 2): frozen latent_half + VQ
+    decode, trainable AFT, loss = l1 + 0.01*VGG16-percep + 0.2*(1-msssim)
+    (glare_tpu/models/vqllflowd_model.py:_train_step_fn). Uses the XLA DCN
+    (the differentiable path — the Pallas kernel is inference-only).
+    Returns (step_fn, params, opt_state, lq, gt)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from glare_tpu.models.vqllflowd_model import _label_trainable
+    from glare_tpu.modules.losses import PerceptualNetwork
+    from glare_tpu.modules.msssim import msssim
+    from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
+    from glare_tpu.modules.vqmodel import VQModel
+
+    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl="xla", remat=True)
+    vq = VQModel()
+    b, s = batch, gt_size
+
+    def init_all(rng):
+        rngs = jax.random.split(rng, 3)
+        lr = jnp.zeros((1, s, s, 3), jnp.float32)
+        vq_vars = vq.init(rngs[0], lr)
+        g_params = netG.init(rngs[1], lr, method=VQLLFLOWDeformable.latent_half)[
+            "params"
+        ]
+        x0, enc0 = netG.apply(
+            {"params": g_params}, lr, method=VQLLFLOWDeformable.latent_half
+        )
+        _, _, code0 = vq.apply(vq_vars, x0, method=vq.decode)
+        aft_params = netG.init(
+            rngs[2], x0, code0, enc0["mid_feat"], method=VQLLFLOWDeformable.aft_half
+        )["params"]
+        return {**g_params, **aft_params}, vq_vars
+
+    params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
+    perceptual = PerceptualNetwork()
+
+    adam = optax.adam(5e-5, b1=0.9, b2=0.99)
+    tx = optax.multi_transform(
+        {"train": adam, "frozen": optax.set_to_zero()}, _label_trainable(params)
+    )
+    opt_state = jax.jit(tx.init)(params)
+
+    def loss_fn(params, vq_vars, lq, gt):
+        x, lr_enc = netG.apply({"params": params}, lq, method=netG.latent_half)
+        x = jax.lax.stop_gradient(x)
+        mid = [jax.lax.stop_gradient(m) for m in lr_enc["mid_feat"]]
+        _, _, code = vq.apply(vq_vars, x, method=vq.decode)
+        code = [jax.lax.stop_gradient(c) for c in code]
+        rec = netG.apply(
+            {"params": params}, x, code, mid, method=netG.aft_half
+        ).astype(jnp.float32)
+        sr = jnp.clip(rec, 0.0, 1.0)
+        l1 = jnp.mean(jnp.abs(sr - gt))
+        percep = perceptual(sr, gt) * 0.01
+        ssim_l = (1.0 - msssim(sr, gt, normalize=True)) * 0.2
+        return l1 + percep + ssim_l
+
+    def step(params, opt_state, lq, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, vq_vars, lq, gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(0)
+    lq = jnp.asarray(
+        np.log(np.clip(rng.rand(b, s, s, 3).astype(np.float32), 1e-3, None))
+    )
+    gt = jnp.asarray(rng.rand(b, s, s, 3).astype(np.float32))
+    return step, params, opt_state, lq, gt
+
+
+def stage3_train_flops(batch=2, gt_size=256):
+    """Per-image FLOPs of the stage-3 AFT training step (XLA cost model —
+    the whole step is XLA, no Pallas ops on the differentiable path)."""
+    step, params, opt_state, lq, gt = build_stage3_train(batch, gt_size)
+    f_step, _ = _flops(step, params, opt_state, lq, gt)
+    return f_step / batch
+
+
 def write_audit(path, payload):
     import json
 
@@ -210,6 +293,16 @@ def main():
             "tflop_per_img": round(f_train / 1e12, 4),
             "v5e_peak_tflops": V5E_F32_TFLOPS,
             "ceiling_img_s_100mfu": round(t_ceiling, 2),
+        }
+        f3_train = stage3_train_flops()
+        t3_ceiling = V5E_F32_TFLOPS * 1e12 / f3_train
+        print(f"stage-3 train step @256^2 b2 (f32): {f3_train / 1e12:.3f} TFLOP/img "
+              f"-> {t3_ceiling:.1f} img/s at 100% MFU (f32 peak)")
+        payload["stage3_train"] = {
+            "gt_size": 256, "batch": 2, "dtype": "float32",
+            "tflop_per_img": round(f3_train / 1e12, 4),
+            "v5e_peak_tflops": V5E_F32_TFLOPS,
+            "ceiling_img_s_100mfu": round(t3_ceiling, 2),
         }
     if args.out:
         write_audit(args.out, payload)

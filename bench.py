@@ -62,7 +62,10 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--height", type=int, default=420)
     parser.add_argument("--width", type=int, default=620)
-    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--dtype", default=None,
+                    help="bfloat16|float32; defaults: infer bfloat16, "
+                         "train modes float32 (train_stage3 accepts "
+                         "bfloat16 = mixed-precision, AMP analogue)")
     parser.add_argument("--dcn_impl", default="pallas", choices=["xla", "pallas"],
                         help="pallas: Pallas DCN kernel (offsets clamped to "
                              "+-2 px — metric name carries the caveat); "
@@ -86,6 +89,8 @@ def main():
         return bench_train_stage3(args)
     if args.batch is None:
         args.batch = 8
+    if args.dtype is None:
+        args.dtype = "bfloat16"
 
     from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
     from glare_tpu.modules.vqmodel import VQModel
@@ -245,7 +250,10 @@ def bench_train_stage3(args):
     from tools.flops_audit import build_stage3_train
 
     b = args.batch or 2  # shipped conf batch (train_stage3_LOL.yml:34)
-    step, params, opt_state, lq, gt = build_stage3_train(batch=b)
+    mixed = args.dtype == "bfloat16"
+    step, params, opt_state, lq, gt = build_stage3_train(
+        batch=b, dtype_name=args.dtype if mixed else "float32"
+    )
 
     step = jax.jit(step)
     for _ in range(args.warmup):
@@ -259,15 +267,18 @@ def bench_train_stage3(args):
     dt = time.perf_counter() - t0
     img_per_s = b * args.iters / dt
     out = {
-        "metric": "stage3_train_256", "value": round(img_per_s, 3),
+        "metric": "stage3_train_256_bf16" if mixed else "stage3_train_256",
+        "value": round(img_per_s, 3),
         "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
         "batch": b,
     }
     tflop = _audited_tflop("stage3_train", "tflop_per_img", None)
     if tflop:
+        # bf16 compute changes the peak, not the op count
+        peak = V5E_BF16_TFLOPS if mixed else V5E_F32_TFLOPS
         out["tflop_per_img"] = tflop
-        out["mfu"] = round(img_per_s * tflop / V5E_F32_TFLOPS, 4)
-        out["ceiling_img_s_100mfu"] = round(V5E_F32_TFLOPS / tflop, 1)
+        out["mfu"] = round(img_per_s * tflop / peak, 4)
+        out["ceiling_img_s_100mfu"] = round(peak / tflop, 1)
     print(json.dumps(out))
 
 

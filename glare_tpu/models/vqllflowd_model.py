@@ -52,9 +52,18 @@ class VQLLFLOWDModel(BaseModel):
         self.heats = opt_get(opt, ["val", "heats"])
         self.hr_size = opt_get(opt, ["datasets", "train", "GT_size"], 256) or 256
 
-        self.netG = define_Flow(opt, step)
+        # train.mixed_precision: bf16 compute / f32 params+loss — the TPU
+        # analogue of the reference's AMP autocast+GradScaler training
+        # (code/models/LLFlow_model.py AMP; VQLLFLOWDeformable_arch
+        # @autocast). Inference follows the separate inference_dtype key.
+        dtype = None
+        if self.is_train and opt_get(opt, ["train", "mixed_precision"]):
+            dtype = jnp.bfloat16
+        elif not self.is_train and opt.get("inference_dtype") == "bfloat16":
+            dtype = jnp.bfloat16
+        self.netG = define_Flow(opt, step, dtype=dtype)
         assert isinstance(self.netG, VQLLFLOWDeformable)
-        self.net_hq = find_vqgan(opt)
+        self.net_hq = find_vqgan(opt, dtype=dtype)
 
         seed = int(opt_get(opt, ["train", "manual_seed"], 10) or 10)
         rngs = jax.random.split(jax.random.PRNGKey(seed), 4)

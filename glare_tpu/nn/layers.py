@@ -199,7 +199,7 @@ class AttnBlock(nn.Module):
 
     dtype: Dtype = None
     chunk_threshold: int = 8192
-    q_chunk: int = 2048
+    q_chunk: int = int(os.environ.get("GLARE_ATTN_QCHUNK", "2048"))
     # GLARE_ATTN_FLASH=1 flips the default at import time (experiment switch)
     use_flash: bool = os.environ.get("GLARE_ATTN_FLASH", "0") == "1"
     # store the softmax'd attention matrix in bf16 (max/sum still f32-

@@ -126,3 +126,18 @@ class TestVQLLFLOWDeformableCompose:
         )
         assert out.shape == (1, S, S, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMixedPrecisionTrainStep:
+    def test_bf16_compute_f32_params_finite_loss(self):
+        """train.mixed_precision (AMP analogue): bf16 compute, f32 params,
+        finite loss through the full stage-3 train step."""
+        from tools.flops_audit import build_stage3_train
+
+        step, params, opt_state, lq, gt = build_stage3_train(
+            batch=1, gt_size=32, dtype_name="bfloat16"
+        )
+        p2, _, loss = jax.jit(step)(params, opt_state, lq, gt)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(p2):
+            assert leaf.dtype == jnp.float32

@@ -154,13 +154,16 @@ def stage2_train_flops(batch=4, gt_size=320):
     return f_step / b
 
 
-def build_stage3_train(batch=2, gt_size=256):
+def build_stage3_train(batch=2, gt_size=256, dtype_name="float32"):
     """Stage-3 AFT training-step ingredients at the shipped conf's shapes
     (train_stage3_LOL.yml: GT_size 256, batch 2): frozen latent_half + VQ
     decode, trainable AFT, loss = l1 + 0.01*VGG16-percep + 0.2*(1-msssim)
     (glare_tpu/models/vqllflowd_model.py:_train_step_fn). Uses the XLA DCN
     (the differentiable path — the Pallas kernel is inference-only).
-    Returns (step_fn, params, opt_state, lq, gt)."""
+    dtype_name='bfloat16' builds the nets with bf16 compute (f32 params,
+    f32 loss) — the TPU analogue of the reference's AMP autocast training
+    (train.mixed_precision in the conf). Returns
+    (step_fn, params, opt_state, lq, gt)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -172,8 +175,9 @@ def build_stage3_train(batch=2, gt_size=256):
     from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
     from glare_tpu.modules.vqmodel import VQModel
 
-    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl="xla", remat=True)
-    vq = VQModel()
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl="xla", remat=True, dtype=dtype)
+    vq = VQModel(dtype=dtype)
     b, s = batch, gt_size
 
     def init_all(rng):

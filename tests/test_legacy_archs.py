@@ -215,15 +215,59 @@ class TestBaseLayers:
         )
         np.testing.assert_allclose(j_out, t_out, atol=1e-5)
 
-    def test_msia_and_doubleconv_shapes(self):
-        from glare_tpu.modules.legacy_archs import MSIA, DoubleConv
+    def test_msia_parity(self):
+        from models.modules.base_layers import MSIA as TorchMSIA
+
+        from glare_tpu.modules.legacy_archs import MSIA
+
+        tm = randomize_(TorchMSIA(8))
+        sd = tm.state_dict()
+
+        def cbr(t_name):
+            return {
+                "conv": conv_params(sd, f"{t_name}.conv_bn_relu.0"),
+                "bn": {"scale": vec(sd[f"{t_name}.conv_bn_relu.1.weight"]),
+                       "bias": vec(sd[f"{t_name}.conv_bn_relu.1.bias"])},
+            }
+
+        def cbr_stats(t_name):
+            return {"bn": {"mean": vec(sd[f"{t_name}.conv_bn_relu.1.running_mean"]),
+                           "var": vec(sd[f"{t_name}.conv_bn_relu.1.running_var"])}}
+
+        def dblk(t_name):
+            return {"deconv": {
+                "kernel": t2j_deconv(sd[f"{t_name}.deconv_relu.0.weight"]),
+                "bias": vec(sd[f"{t_name}.deconv_relu.0.bias"]),
+            }}
+
+        params = {
+            "cbr1": cbr("conv_bn_relu_1"),
+            "cbr2": cbr("conv_bn_relu_2"),
+            "cbr4": cbr("conv_bn_relu_4"),
+            "deconv2": dblk("deconv_2"),
+            "deconv41": dblk("deconv_4_1"),
+            "deconv42": dblk("deconv_4_2"),
+            "out": {"conv": conv_params(sd, "out.conv_relu.0")},
+        }
+        batch_stats = {
+            "cbr1": cbr_stats("conv_bn_relu_1"),
+            "cbr2": cbr_stats("conv_bn_relu_2"),
+            "cbr4": cbr_stats("conv_bn_relu_4"),
+        }
+        r = np.random.RandomState(4).randn(1, 16, 16, 8).astype(np.float32)
+        i_att = np.random.RandomState(5).rand(1, 16, 16, 1).astype(np.float32)
+        with torch.no_grad():
+            t_out = tm(to_nchw(r), to_nchw(i_att)).numpy().transpose(0, 2, 3, 1)
+        j_out = np.asarray(
+            MSIA(8).apply({"params": params, "batch_stats": batch_stats},
+                          jnp.asarray(r), jnp.asarray(i_att))
+        )
+        np.testing.assert_allclose(j_out, t_out, atol=1e-4)
+
+    def test_doubleconv_shapes(self):
+        from glare_tpu.modules.legacy_archs import DoubleConv
 
         x = jnp.zeros((1, 16, 16, 8))
-        m = MSIA(8)
-        v = m.init(jax.random.PRNGKey(0), x, jnp.ones((1, 16, 16, 1)))
-        y = m.apply(v, x, jnp.ones((1, 16, 16, 1)))
-        assert y.shape == (1, 16, 16, 8)
-
         d = DoubleConv(12)
         v = d.init(jax.random.PRNGKey(0), x)
         assert d.apply(v, x).shape == (1, 16, 16, 12)

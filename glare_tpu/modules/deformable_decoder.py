@@ -45,6 +45,10 @@ class DCNv2Pack(nn.Module):
     kernel_size: int = 3
     dtype: Dtype = None
     impl: str = "xla"
+    # im2col chunk for the XLA op: 16384 is fastest for inference; training
+    # passes 4096 (via remat) or the backward's lane-padded gather temps
+    # exceed one v5e's HBM (see ops/dcn.py)
+    pixels_per_chunk: int = 16384
 
     @nn.compact
     def __call__(self, x, feat):
@@ -80,7 +84,8 @@ class DCNv2Pack(nn.Module):
                 x, offset, mask, weight, bias, max_offset=2
             ).astype(x.dtype)
         return modulated_deform_conv(
-            x, offset, mask, weight, bias, padding=k // 2
+            x, offset, mask, weight, bias, padding=k // 2,
+            pixels_per_chunk=self.pixels_per_chunk,
         )
 
 
@@ -98,6 +103,7 @@ class WarpBlock(nn.Module):
     warp_mode: str = "dcn"
     flow_max_offset: int = 2
     dcn_impl: str = "xla"
+    dcn_pixels_per_chunk: int = 16384
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -117,7 +123,9 @@ class WarpBlock(nn.Module):
             aligned = flow_warp_align(x_vq, flow, max_offset=self.flow_max_offset)
             return Conv(c, (3, 3), padding=1, dtype=self.dtype, name="post_conv")(aligned)
         return DCNv2Pack(c, deformable_groups=4, dtype=self.dtype,
-                         impl=self.dcn_impl, name="dcn")(x_vq, side)
+                         impl=self.dcn_impl,
+                         pixels_per_chunk=self.dcn_pixels_per_chunk,
+                         name="dcn")(x_vq, side)
 
 
 class Mix(nn.Module):
@@ -198,6 +206,8 @@ class MultiScaleDecoder2(nn.Module):
                 x_vq = WB(
                     dtype=self.dtype, warp_mode=self.warp_mode,
                     dcn_impl=self.dcn_impl,
+                    # training (remat on) needs small DCN chunks for HBM
+                    dcn_pixels_per_chunk=4096 if self.remat else 16384,
                     name=f"warp_{1 - i_level}",
                 )(x_code, h)
                 h = h + x_vq * (jnp.mean(h) / jnp.mean(x_vq))

@@ -210,6 +210,13 @@ class GumbelQuantize(nn.Module):
     from the ``'gumbel'`` rng stream; at eval the categorical is taken hard
     (the reference forces hard=True in eval). Returns
     ``(z_q, kl_diff, (None, None, indices))`` under the VQ interface.
+
+    DELIBERATE PARITY DEVIATION: the reference's ``F.gumbel_softmax`` samples
+    Gumbel noise even in eval mode (quantize.py:180), so reference eval
+    indices are stochastic. Here ``deterministic=True`` uses a plain
+    softmax/argmax — eval outputs are reproducible, which we consider an
+    improvement; pass ``deterministic=False`` with a fixed rng to reproduce
+    the reference's sampled-eval behavior. Documented in PARITY.md.
     """
 
     num_hiddens: int
@@ -257,16 +264,24 @@ class GumbelQuantize(nn.Module):
 
         z_q = jnp.einsum("bhwn,nd->bhwd", soft_one_hot, embed)
 
-        # KL to the uniform prior (reference: quantize.py:193-194)
+        # KL to the uniform prior (reference: quantize.py:193-194). The
+        # log term multiplies by the FULL codebook size self.n_embed even
+        # when remap restricts logits to len(used) channels — the reference
+        # does the same (its qy is over remapped logits but the constant is
+        # self.n_embed).
         qy = jax.nn.softmax(logits, axis=-1)
         diff = self.kl_weight * jnp.mean(
-            jnp.sum(qy * jnp.log(qy * logits.shape[-1] + 1e-10), axis=-1)
+            jnp.sum(qy * jnp.log(qy * self.n_embed + 1e-10), axis=-1)
         )
 
         ind = jnp.argmax(soft_one_hot, axis=-1).astype(jnp.int32)
         if self.remap is not None:
             rng = None if deterministic else self.make_rng("gumbel")
-            unk = self.unknown_index if (deterministic or rng is not None) else "extra"
+            # unknown_index='random' needs an rng; deterministic calls have
+            # none, so fall back to 'extra' (indices here are argmaxes of a
+            # remapped one-hot, so "unknown" never actually fires — the
+            # fallback only picks the assert-free path).
+            unk = self.unknown_index if rng is not None else "extra"
             ind = remap_to_used(ind, used, unk, rng=rng, re_embed=used.shape[0])
         if self.use_vqinterface:
             if return_logits:

@@ -12,6 +12,7 @@ kernel and bias — replicated here so training-from-scratch dynamics match.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Sequence
 
@@ -94,8 +95,12 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
     epsilon: float = 1e-6
     # GLARE_GN_BF16=1: keep the IO in the network dtype (stats still f32 via
-    # explicit accumulation) — halves the 2-pass norm traffic per block
-    bf16_io: bool = os.environ.get("GLARE_GN_BF16", "0") == "1"
+    # explicit accumulation) — halves the 2-pass norm traffic per block.
+    # Env read at module-CONSTRUCTION time (default_factory), so set it
+    # before building the network; changing it after construction has no
+    # effect (perf-experiment switch, not part of the option plumbing).
+    bf16_io: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("GLARE_GN_BF16", "0") == "1")
 
     @nn.compact
     def __call__(self, x):
@@ -199,13 +204,20 @@ class AttnBlock(nn.Module):
 
     dtype: Dtype = None
     chunk_threshold: int = 8192
-    q_chunk: int = int(os.environ.get("GLARE_ATTN_QCHUNK", "2048"))
-    # GLARE_ATTN_FLASH=1 flips the default at import time (experiment switch)
-    use_flash: bool = os.environ.get("GLARE_ATTN_FLASH", "0") == "1"
+    # The GLARE_ATTN_* envs are perf-experiment switches read at module-
+    # CONSTRUCTION time (default_factory) — set them before building the
+    # network; they deliberately bypass the network_G option plumbing
+    # (numerics are unchanged for QCHUNK; FLASH/MAT_BF16 are documented
+    # negative results kept reproducible, PERF_NOTES.md).
+    q_chunk: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("GLARE_ATTN_QCHUNK", "2048")))
+    use_flash: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("GLARE_ATTN_FLASH", "0") == "1")
     # store the softmax'd attention matrix in bf16 (max/sum still f32-
     # accumulated): halves the HBM traffic of the [n, n] materialization,
     # which is what bounds the chunked path at 16k tokens
-    softmax_bf16: bool = os.environ.get("GLARE_ATTN_MAT_BF16", "0") == "1"
+    softmax_bf16: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("GLARE_ATTN_MAT_BF16", "0") == "1")
 
     @nn.compact
     def __call__(self, x):

@@ -69,6 +69,42 @@ class TestGumbelQuantize:
         )
 
 
+    def test_deterministic_with_remap(self):
+        """Regression (round-2 advisor): deterministic + remap with the
+        default unknown_index='random' must not assert (no rng at eval)."""
+        remap = [1, 3, 5, 7]
+        m = GumbelQuantize(num_hiddens=8, embedding_dim=4, n_embed=16,
+                           remap=remap)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 6, 8))
+        variables = m.init({"params": jax.random.PRNGKey(1)}, z)
+        z_q, diff, (_, _, ind) = m.apply(variables, z, deterministic=True)
+        assert z_q.shape == (2, 5, 6, 4)
+        # indices are in the remapped [0, len(used)) range
+        assert int(jnp.max(ind)) < len(remap) and int(jnp.min(ind)) >= 0
+        # KL constant is n_embed (reference quantize.py:194), not len(used):
+        # recompute with the full-codebook constant and compare
+        logits = jnp.einsum(
+            "bhwc,cn->bhwn", z, variables["params"]["proj"]["kernel"][0, 0]
+        ) + variables["params"]["proj"]["bias"]
+        logits = jnp.take(logits, jnp.asarray(remap), axis=-1)
+        qy = jax.nn.softmax(logits, axis=-1)
+        want = 5e-4 * jnp.mean(jnp.sum(qy * jnp.log(qy * 16 + 1e-10), axis=-1))
+        np.testing.assert_allclose(float(diff), float(want), rtol=1e-5)
+
+    def test_train_with_remap_random_unknown(self):
+        """Training path with remap + unknown_index='random' uses the gumbel
+        rng stream for the unknown fill without asserting."""
+        m = GumbelQuantize(num_hiddens=8, embedding_dim=4, n_embed=16,
+                           remap=[0, 2, 4, 6])
+        z = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 3, 8))
+        variables = m.init({"params": jax.random.PRNGKey(1)}, z)
+        z_q, diff, (_, _, ind) = m.apply(
+            variables, z, deterministic=False,
+            rngs={"gumbel": jax.random.PRNGKey(7)},
+        )
+        assert int(jnp.max(ind)) < 4
+
+
 class TestRemap:
     def test_remap_and_unmap(self):
         used = jnp.asarray([3, 7, 11], jnp.int32)

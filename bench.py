@@ -51,6 +51,30 @@ def _audited_tflop(section, key, default):
         return default
 
 
+def _timed_rates(run_iters, imgs_per_rep, repeats):
+    """Run the timed block `repeats` times; return the per-repeat img/s list.
+
+    Round-over-round deltas of a few percent are meaningless from a single
+    run (round-2 verdict weak #7) — the headline is the MEDIAN and the JSON
+    carries the spread (max-min over repeats)."""
+    rates = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        run_iters()
+        dt = time.perf_counter() - t0
+        rates.append(imgs_per_rep / dt)
+    return rates
+
+
+def _rate_stats(rates):
+    med = float(np.median(rates))
+    return {
+        "value": round(med, 3),
+        "spread": round(float(np.max(rates) - np.min(rates)), 3),
+        "repeats": len(rates),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=None,
@@ -59,6 +83,9 @@ def main():
                              "img/s, not latency), train_stage2 4, "
                              "train_stage3 2 (the shipped conf batches)")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timed repetitions; JSON reports the median "
+                             "img/s and the max-min spread")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--height", type=int, default=420)
     parser.add_argument("--width", type=int, default=620)
@@ -149,13 +176,15 @@ def main():
     for _ in range(args.warmup):
         host_sync(forward(params, vq_vars, lq))
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = forward(params, vq_vars, lq)
-    host_sync(out)
-    dt = time.perf_counter() - t0
+    def run_iters():
+        out = None
+        for _ in range(args.iters):
+            out = forward(params, vq_vars, lq)
+        host_sync(out)
 
-    img_per_s = args.batch * args.iters / dt
+    rates = _timed_rates(run_iters, args.batch * args.iters, args.repeats)
+    stats = _rate_stats(rates)
+    img_per_s = stats["value"]
     if args.warp_mode == "flow":
         metric = "stage3_infer_600x400_flowwarp_experimental"
     elif args.dcn_impl == "pallas":
@@ -167,7 +196,7 @@ def main():
     peak = V5E_BF16_TFLOPS if args.dtype == "bfloat16" else V5E_F32_TFLOPS
     out = {
         "metric": metric,
-        "value": round(img_per_s, 3),
+        **stats,
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 200.0, 4),
         "tflop_per_img": tflop,
@@ -223,14 +252,17 @@ def bench_train_stage2(args):
         params, opt_state, loss = step(params, opt_state, lq, gt)
     _ = np.asarray(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        params, opt_state, loss = step(params, opt_state, lq, gt)
-    _ = np.asarray(loss)
-    dt = time.perf_counter() - t0
-    img_per_s = b * args.iters / dt
+    def run_iters():
+        nonlocal params, opt_state, loss
+        for _ in range(args.iters):
+            params, opt_state, loss = step(params, opt_state, lq, gt)
+        _ = np.asarray(loss)
+
+    rates = _timed_rates(run_iters, b * args.iters, args.repeats)
+    stats = _rate_stats(rates)
+    img_per_s = stats["value"]
     out = {
-        "metric": "stage2_train_320", "value": round(img_per_s, 3),
+        "metric": "stage2_train_320", **stats,
         "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
         "batch": b,
     }
@@ -260,15 +292,18 @@ def bench_train_stage3(args):
         params, opt_state, loss = step(params, opt_state, lq, gt)
     _ = np.asarray(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        params, opt_state, loss = step(params, opt_state, lq, gt)
-    _ = np.asarray(loss)
-    dt = time.perf_counter() - t0
-    img_per_s = b * args.iters / dt
+    def run_iters():
+        nonlocal params, opt_state, loss
+        for _ in range(args.iters):
+            params, opt_state, loss = step(params, opt_state, lq, gt)
+        _ = np.asarray(loss)
+
+    rates = _timed_rates(run_iters, b * args.iters, args.repeats)
+    stats = _rate_stats(rates)
+    img_per_s = stats["value"]
     out = {
         "metric": "stage3_train_256_bf16" if mixed else "stage3_train_256",
-        "value": round(img_per_s, 3),
+        **stats,
         "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
         "batch": b,
     }

@@ -47,13 +47,17 @@ def calculate_ssim(img, img2, crop_border=0, input_order="HWC", test_y_channel=F
 
 
 @METRIC_REGISTRY.register()
-def calculate_niqe(img, **_):
-    raise NotImplementedError(
-        "NIQE needs the pristine-corpus MVG parameter file (niqe_pris_params),"
-        " which is not available in this offline image; supply it and wire"
-        " glare_tpu.sr.metrics.calculate_niqe (the reference's CLI is also"
-        " non-functional as shipped)."
-    )
+def calculate_niqe(img, crop_border=0, input_order="HWC", convert_to="y", **kw):
+    """Working NIQE (reference CLI: metrics/calculate_niqe.py imports a
+    never-vendored basicsr.metrics — this is the functional equivalent,
+    implemented in glare_tpu.utils.niqe). Pristine-model parameters come from
+    $GLARE_NIQE_PARAMS (.npz or modelparameters.mat), an explicit
+    ``pris_params=(mu, cov)``, or ``glare_tpu.utils.niqe.fit_niqe_params``;
+    without any of those it raises an informative error."""
+    from ..utils.niqe import calculate_niqe as _niqe
+
+    return _niqe(img, crop_border=crop_border, input_order=input_order,
+                 convert_to=convert_to, **kw)
 
 
 @METRIC_REGISTRY.register()

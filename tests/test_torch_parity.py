@@ -323,6 +323,149 @@ class TestFlowUpsamplerNetParity:
         np.testing.assert_allclose(np.asarray(jxr), x, atol=5e-3)
 
 
+class TestStage3EndToEndParity:
+    """The assembled stage-3 reverse path — ConEncoder1 -> frozen flow
+    inverse -> VQGAN decode (codebook retrieval) -> MultiScaleDecoder2 AFT
+    fusion — against the reference torch graph end to end
+    (VQLLFLOWDeformable_arch.py:222-250 + deformableDecoder_arch.py:525-576,
+    incl. the `h + x_vq*(h.mean()/x_vq.mean())` rescale).
+
+    The reference's CUDA-only DCN ext is monkeypatched with the CPU golden
+    oracle (tests/golden_dcn.py, transcribed from the CUDA kernels'
+    indexing), making the full torch graph runnable on CPU; our side runs
+    the exact (unbounded-offset) XLA DCN. Shipped geometry: K=12, L=2,
+    ch=128 encoder/decoder, full 8192-code codebook."""
+
+    def _stub_heavy_imports(self, monkeypatch):
+        # VQModel_arch imports pytorch_lightning and vgg_arch (->
+        # torchvision.models), both absent offline and both dead in the
+        # decode path GLARE uses (vgg_feat=None always)
+        if "pytorch_lightning" not in sys.modules:
+            pl_stub = types.ModuleType("pytorch_lightning")
+            pl_stub.LightningModule = torch.nn.Module
+            sys.modules["pytorch_lightning"] = pl_stub
+        vgg_stub = types.ModuleType("models.modules.vgg_arch")
+        vgg_stub.VGGFeatureExtractor = lambda *a, **k: torch.nn.Identity()
+        monkeypatch.setitem(sys.modules, "models.modules.vgg_arch", vgg_stub)
+
+    def test_full_reverse_path(self, monkeypatch):
+        self._stub_heavy_imports(monkeypatch)
+        import models.modules.deformableDecoder_arch as dd_arch
+        from models.modules.VQLLFLOWDeformable_arch import (
+            VQLLFLOWDeformable as TorchNet,
+        )
+        from models.modules.VQModel_arch import VQModel as TorchVQ
+
+        from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
+        from glare_tpu.modules.vqmodel import VQModel
+        from glare_tpu.options import dict_to_nonedict
+        from tools.torch2flax import convert_stage3, convert_vqgan
+
+        from golden_dcn import modulated_deform_conv_golden
+
+        # --- CUDA-boundary monkeypatches -------------------------------
+        def golden_mdcn(x, offset, mask, weight, bias, stride, padding,
+                        dilation, groups, deformable_groups):
+            assert groups == 1
+            out = modulated_deform_conv_golden(
+                x.detach().numpy(), offset.detach().numpy(),
+                mask.detach().numpy(), weight.detach().numpy(),
+                bias.detach().numpy() if bias is not None else None,
+                stride=stride, padding=padding, dilation=dilation,
+                deformable_groups=deformable_groups,
+            )
+            return torch.from_numpy(out.astype(np.float32))
+
+        monkeypatch.setattr(dd_arch, "modulated_deform_conv", golden_mdcn)
+        # the reference hardcodes .to('cuda') mid-forward
+        # (VQLLFLOWDeformable_arch.py:244, deformableDecoder_arch.py:549-551)
+        orig_to = torch.Tensor.to
+
+        def cpu_to(self, *args, **kw):
+            args = tuple(
+                "cpu" if isinstance(a, (str, torch.device))
+                and str(a).startswith("cuda") else a
+                for a in args
+            )
+            return orig_to(self, *args, **kw)
+
+        monkeypatch.setattr(torch.Tensor, "to", cpu_to)
+
+        # --- torch reference graph, shipped geometry -------------------
+        opt = dict_to_nonedict({
+            "scale": 1,
+            "le_curve": False,
+            "sigmoid_output": False,
+            "to_yuv": False,
+            "cond_encoder": "ConEncoder1",
+            "datasets": {"train": {"GT_size": 160, "quant": 32}},
+            "network_G": {
+                "flow": {
+                    "K": 12, "L": 2,
+                    "coupling": "CondAffineSeparatedAndCond",
+                    "additionalFlowNoAffine": 2,
+                    "conditionInFeaDim": 64,
+                    "split": {"enable": False},
+                }
+            },
+        })
+        tm = TorchNet(opt=opt, K=12)
+        randomize_(tm, seed=20, scale=0.05)
+        tvq = randomize_(TorchVQ(), seed=21, scale=0.2)
+        # healthy signal propagation through the deep chain: GroupNorms at
+        # gain ~1 (randomize_ left them at N(0, 0.05), which decays the
+        # activations to bias-noise over ~30 blocks)
+        from models.modules import flow as ref_flow
+
+        g = torch.Generator().manual_seed(22)
+        with torch.no_grad():
+            for mod in list(tm.modules()) + list(tvq.modules()):
+                if isinstance(mod, torch.nn.GroupNorm):
+                    mod.weight.copy_(
+                        1.0 + 0.1 * torch.randn(mod.weight.shape, generator=g))
+                    mod.bias.copy_(
+                        0.05 * torch.randn(mod.bias.shape, generator=g))
+                elif hasattr(mod, "invconv"):
+                    w = torch.linalg.qr(torch.randn(3, 3, generator=g))[0]
+                    mod.invconv.weight.copy_(w)
+                elif isinstance(mod, ref_flow.Conv2dZeros):
+                    # keep the 28-step inverse chain near-identity: with
+                    # randn couplings the reverse EXPANDS ~x2000 and the
+                    # parity comparison degenerates to relative error on
+                    # huge values (trained models are contractive by fit)
+                    mod.weight.mul_(0.02)
+                    mod.bias.mul_(0.02)
+                    mod.logs.mul_(0.02)
+
+        lr = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            # run torch FIRST: ActNorms data-init on first call, the
+            # converted state must be post-init
+            t_rec, t_latent = tm.reverse_flow(
+                to_nchw(lr), None, y_onehot=None, eps_std=0.0, net_vq=tvq)
+
+        # --- ours, converted weights -----------------------------------
+        params = {"params": convert_stage3(
+            {k: v for k, v in tm.state_dict().items()}, n_layers=(2 + 12) * 2)}
+        vq_params = {"params": convert_vqgan(tvq.state_dict())}
+        m = VQLLFLOWDeformable(K=12, L=2, dcn_impl="xla")
+        vqm = VQModel(vq_backend="ref")
+
+        jlr = jnp.asarray(lr)
+        x, lr_enc = m.apply(params, jlr, method=VQLLFLOWDeformable.latent_half)
+        np.testing.assert_allclose(
+            np.asarray(x), from_nchw(t_latent), atol=2e-3)
+
+        rec, _, code_out = vqm.apply(vq_params, x, method=VQModel.decode)
+        out = m.apply(params, x, code_out, lr_enc["mid_feat"],
+                      method=VQLLFLOWDeformable.aft_half)
+
+        t_out = from_nchw(t_rec)
+        j_out = np.asarray(out)
+        assert np.std(t_out) > 1e-4, "degenerate reference output"
+        np.testing.assert_allclose(j_out, t_out, atol=1e-3)
+
+
 class TestMSSSIMParity:
     def test_msssim_matches_reference(self):
         import importlib

@@ -35,7 +35,7 @@ import numpy as np
 
 # audited by tools/flops_audit.py (XLA cost_analysis + analytic Pallas warp
 # terms); refreshed values land in FLOPS_AUDIT.json which takes precedence
-STAGE3_TFLOP_PER_IMG = {"pallas": 8.12, "xla": 8.12}
+STAGE3_TFLOP_PER_IMG = {"pallas": 8.12, "xla": 8.12, "chain": 8.12}
 STAGE2_TRAIN_TFLOP_PER_IMG = None  # filled from FLOPS_AUDIT.json when audited
 V5E_BF16_TFLOPS = 197.0
 V5E_F32_TFLOPS = 49.0
@@ -93,10 +93,13 @@ def main():
                     help="bfloat16|float32; defaults: infer bfloat16, "
                          "train modes float32 (train_stage3 accepts "
                          "bfloat16 = mixed-precision, AMP analogue)")
-    parser.add_argument("--dcn_impl", default="pallas", choices=["xla", "pallas"],
+    parser.add_argument("--dcn_impl", default="pallas",
+                        choices=["xla", "pallas", "chain"],
                         help="pallas: Pallas DCN kernel (offsets clamped to "
                              "+-2 px — metric name carries the caveat); "
-                             "xla: exact unbounded offsets (parity path)")
+                             "xla: exact unbounded offsets (parity path); "
+                             "chain: clamped dense select-chain (the "
+                             "differentiable training formulation)")
     parser.add_argument("--warp_mode", default="dcn", choices=["dcn", "flow"],
                         help="AFT alignment: dcn = DCNv2 (reference "
                              "semantics); flow = EXPERIMENTAL gather-free "
@@ -189,6 +192,8 @@ def main():
         metric = "stage3_infer_600x400_flowwarp_experimental"
     elif args.dcn_impl == "pallas":
         metric = "stage3_infer_600x400_dcn_clamp2px"
+    elif args.dcn_impl == "chain":
+        metric = "stage3_infer_600x400_dcn_chain_clamp2px"
     else:
         metric = "stage3_infer_600x400"
     tflop = _audited_tflop("stage3", "tflop_per_img",
@@ -284,7 +289,8 @@ def bench_train_stage3(args):
     b = args.batch or 2  # shipped conf batch (train_stage3_LOL.yml:34)
     mixed = args.dtype == "bfloat16"
     step, params, opt_state, lq, gt = build_stage3_train(
-        batch=b, dtype_name=args.dtype if mixed else "float32"
+        batch=b, dtype_name=args.dtype if mixed else "float32",
+        dcn_impl=args.dcn_impl if args.dcn_impl != "pallas" else "xla",
     )
 
     step = jax.jit(step)
@@ -301,8 +307,11 @@ def bench_train_stage3(args):
     rates = _timed_rates(run_iters, b * args.iters, args.repeats)
     stats = _rate_stats(rates)
     img_per_s = stats["value"]
+    name = "stage3_train_256_bf16" if mixed else "stage3_train_256"
+    if args.dcn_impl == "chain":
+        name += "_chain"
     out = {
-        "metric": "stage3_train_256_bf16" if mixed else "stage3_train_256",
+        "metric": name,
         **stats,
         "unit": "img/s", "vs_baseline": round(img_per_s / 200.0, 4),
         "batch": b,

@@ -36,8 +36,10 @@ class DCNv2Pack(nn.Module):
     conv_offset is zero-initialized (reference: deform_conv.py:369-373) so
     the op degenerates to mask=sigmoid(0)=0.5 times a regular conv at init.
 
-    impl: 'xla' (exact, unbounded offsets) or 'pallas' (Pallas kernel with
-    offsets clamped to +-2 px; ~2.5x faster at GLARE shapes, PERF_NOTES.md).
+    impl: 'xla' (exact, unbounded offsets), 'pallas' (Pallas kernel with
+    offsets clamped to +-2 px; ~2.5x faster at GLARE shapes, PERF_NOTES.md),
+    or 'chain' (clamped dense select-chain, gather-free and autodiff-dense —
+    the training-path formulation, see ops/dcn.py).
     """
 
     features: int
@@ -81,6 +83,12 @@ class DCNv2Pack(nn.Module):
             from ..ops.dcn_pallas import modulated_deform_conv_pallas
 
             return modulated_deform_conv_pallas(
+                x, offset, mask, weight, bias, max_offset=2
+            ).astype(x.dtype)
+        if self.impl == "chain":
+            from ..ops.dcn import modulated_deform_conv_chain
+
+            return modulated_deform_conv_chain(
                 x, offset, mask, weight, bias, max_offset=2
             ).astype(x.dtype)
         return modulated_deform_conv(

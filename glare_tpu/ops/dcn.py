@@ -168,6 +168,70 @@ def modulated_deform_conv(
     return out.reshape(B, Ho, Wo, O)
 
 
+@functools.partial(jax.jit, static_argnames=("max_offset",))
+def modulated_deform_conv_chain(x, offset, mask, weight, bias=None, max_offset=2):
+    """Clamped-offset DCNv2 as a dense static select-chain — gather-free and
+    fully differentiable by XLA autodiff (the training-path formulation).
+
+    For offsets clamped to [-R, R], tap k=(i,j)'s bilinear sample at output
+    pixel p has support only on the (2R+1)^2 integer shifts around (i-1, j-1)
+    — so the im2col gather (catastrophic on this backend, PERF_NOTES.md)
+    becomes 25 static shifted slices weighted by hat functions
+    relu(1-|d - s|), exactly the formulation of the Pallas forward kernel
+    (ops/dcn_pallas.py) but in XLA, where the *transpose* of a shifted slice
+    is a shifted pad — i.e. the backward (the CUDA ext's col2im/col2im_coord,
+    deform_conv_cuda_kernel.cu:245-420) is scatter-free and dense too. No
+    [*, G, Cg=32] lane-padded temps: everything stays [B, H, W, C].
+
+    3x3, stride 1, dilation 1 (the GLARE hot path: DCNv2Pack
+    deformable_groups=4, deformableDecoder_arch.py:283). Boundary semantics
+    match the CUDA kernel (zero outside, partial hats at borders) for every
+    position reachable with |offset| <= R.
+    """
+    B, H, W, C = x.shape
+    kh, kw, wc, O = weight.shape
+    assert (kh, kw) == (3, 3) and wc == C, (weight.shape, x.shape)
+    G, K = offset.shape[3], offset.shape[4]
+    assert K == 9 and C % G == 0
+    Cg = C // G
+    R = int(max_offset)
+
+    off = jnp.clip(offset.astype(jnp.float32), -R, R)
+    m = mask.astype(jnp.float32)
+    pad = R + 1
+    xg = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)]).reshape(
+        B, H + 2 * pad, W + 2 * pad, G, Cg
+    )
+    w_taps = weight.reshape(9, C, O)
+
+    out = None
+    for i in range(3):
+        for j in range(3):
+            k = i * 3 + j
+            dy = off[..., k, 0]  # [B, H, W, G]
+            dx = off[..., k, 1]
+            mk = m[..., k]
+            wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy)) * mk
+                   for sy in range(-R, R + 1)]
+            wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx))
+                   for sx in range(-R, R + 1)]
+            acc = jnp.zeros((B, H, W, G, Cg), x.dtype)
+            for si, sy in enumerate(range(-R, R + 1)):
+                r0 = pad + (i - 1) + sy
+                for sj, sx in enumerate(range(-R, R + 1)):
+                    c0 = pad + (j - 1) + sx
+                    w2 = (wys[si] * wxs[sj])[..., None].astype(x.dtype)
+                    acc = acc + xg[:, r0:r0 + H, c0:c0 + W] * w2
+            t = jnp.einsum(
+                "bhwc,co->bhwo", acc.reshape(B, H, W, C), w_taps[k],
+                preferred_element_type=jnp.float32,
+            )
+            out = t if out is None else out + t
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def deform_conv(x, offset, weight, bias=None, stride=1, padding=1, dilation=1):
     """DCNv1 (no modulation): mask == 1 everywhere
     (reference: deform_conv_cuda.cpp:152 deform_conv_forward_cuda)."""

@@ -121,6 +121,95 @@ class TestModulatedDeformConv:
             np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=2e-3)
 
 
+class TestChainOp:
+    """modulated_deform_conv_chain (clamped dense select-chain) vs the exact
+    op inside the clamp region, incl. gradient parity — the training-path
+    formulation (backward = dense shifted pads, no gathers)."""
+
+    def _inputs(self, seed=0, off_scale=1.2, C=8, G=4, off_cap=None):
+        x, offset, mask, weight, bias = make_inputs(
+            seed=seed, B=2, H=6, W=7, C=C, O=5, G=G, off_scale=off_scale)
+        if off_cap is not None:
+            offset = np.clip(offset, -off_cap, off_cap)
+        return x, offset, mask, weight, bias
+
+    def test_matches_exact_within_clamp(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_chain
+
+        x, offset, mask, weight, bias = self._inputs(off_scale=1.2, off_cap=1.9)
+        got = modulated_deform_conv_chain(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2)
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_clamps_large_offsets(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_chain
+
+        x, offset, mask, weight, bias = self._inputs(off_scale=10.0)
+        got = modulated_deform_conv_chain(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2)
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(np.clip(offset, -2, 2)),
+            jnp.asarray(mask), jnp.asarray(weight), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_configurable_radius(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_chain
+
+        x, offset, mask, weight, bias = self._inputs(off_scale=3.0)
+        got = modulated_deform_conv_chain(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=4)
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(np.clip(offset, -4, 4)),
+            jnp.asarray(mask), jnp.asarray(weight), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_exact_op(self):
+        """Inside the clamp (strictly), d chain == d exact for every input —
+        the col2im / col2im_coord math without kernels or gathers."""
+        from glare_tpu.ops.dcn import modulated_deform_conv_chain
+
+        x, offset, mask, weight, bias = self._inputs(off_scale=0.4, off_cap=1.5)
+        offset = offset + 0.3  # keep off the integer lattice
+        args = tuple(jnp.asarray(a) for a in (x, offset, mask, weight, bias))
+
+        def loss_chain(*a):
+            return jnp.sum(modulated_deform_conv_chain(*a, max_offset=2) ** 2)
+
+        def loss_exact(*a):
+            return jnp.sum(modulated_deform_conv(*a) ** 2)
+
+        g1 = jax.grad(loss_chain, argnums=(0, 1, 2, 3, 4))(*args)
+        g2 = jax.grad(loss_exact, argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b, name in zip(g1, g2, ["x", "offset", "mask", "weight", "bias"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+                err_msg=f"grad mismatch for {name}")
+            assert float(jnp.abs(b).max()) > 0, name
+
+    def test_clamp_blocks_offset_gradient_outside(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_chain
+
+        x, offset, mask, weight, bias = self._inputs()
+        offset = np.full_like(offset, 3.0)  # everywhere beyond the clamp
+
+        def loss(off):
+            return jnp.sum(modulated_deform_conv_chain(
+                jnp.asarray(x), off, jnp.asarray(mask), jnp.asarray(weight),
+                max_offset=2) ** 2)
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(offset)))
+        assert np.abs(g).max() == 0.0
+
+
 class TestCudaGolden:
     """glare_tpu op vs the torch-layout CUDA-indexing golden (golden_dcn.py).
 

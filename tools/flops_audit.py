@@ -154,12 +154,13 @@ def stage2_train_flops(batch=4, gt_size=320):
     return f_step / b
 
 
-def build_stage3_train(batch=2, gt_size=256, dtype_name="float32"):
+def build_stage3_train(batch=2, gt_size=256, dtype_name="float32", dcn_impl="xla"):
     """Stage-3 AFT training-step ingredients at the shipped conf's shapes
     (train_stage3_LOL.yml: GT_size 256, batch 2): frozen latent_half + VQ
     decode, trainable AFT, loss = l1 + 0.01*VGG16-percep + 0.2*(1-msssim)
-    (glare_tpu/models/vqllflowd_model.py:_train_step_fn). Uses the XLA DCN
-    (the differentiable path — the Pallas kernel is inference-only).
+    (glare_tpu/models/vqllflowd_model.py:_train_step_fn). dcn_impl: 'xla'
+    (exact, chunked-gather backward) or 'chain' (clamped dense select-chain,
+    gather-free fwd+bwd — see ops/dcn.py modulated_deform_conv_chain).
     dtype_name='bfloat16' builds the nets with bf16 compute (f32 params,
     f32 loss) — the TPU analogue of the reference's AMP autocast training
     (train.mixed_precision in the conf). Returns
@@ -176,7 +177,7 @@ def build_stage3_train(batch=2, gt_size=256, dtype_name="float32"):
     from glare_tpu.modules.vqmodel import VQModel
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
-    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl="xla", remat=True, dtype=dtype)
+    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl=dcn_impl, remat=True, dtype=dtype)
     vq = VQModel(dtype=dtype)
     b, s = batch, gt_size
 

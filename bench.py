@@ -33,9 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# audited by tools/flops_audit.py (XLA cost_analysis + analytic Pallas warp
-# terms); refreshed values land in FLOPS_AUDIT.json which takes precedence
-STAGE3_TFLOP_PER_IMG = {"pallas": 8.12, "xla": 8.12, "chain": 8.12}
+# measured XLA model_flops from the round-3 device trace (PROFILE_r03.json);
+# FLOPS_AUDIT.json takes precedence when present
+STAGE3_TFLOP_PER_IMG = {"pallas": 13.05, "xla": 13.05, "chain": 13.05}
 STAGE2_TRAIN_TFLOP_PER_IMG = None  # filled from FLOPS_AUDIT.json when audited
 V5E_BF16_TFLOPS = 197.0
 V5E_F32_TFLOPS = 49.0

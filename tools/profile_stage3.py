@@ -7,7 +7,7 @@ estimated-bandwidth attribution with a measured trace (round-2 verdict
 weak #1). The raw trace (xplane + trace.json.gz) stays on disk for
 TensorBoard/Perfetto.
 
-Usage: python -m tools.profile_stage3 [--batch 8] [--iters 3] [--top 40]
+Usage: python -m tools.profile_stage3 [--batch 8] [--iters 3]
 """
 
 from __future__ import annotations
@@ -16,7 +16,6 @@ import argparse
 import glob
 import gzip
 import json
-import re
 import time
 from collections import defaultdict
 
@@ -44,36 +43,47 @@ def _phase_fns(netG, vq, params, vq_vars):
     return forward
 
 
-def aggregate_trace(log_dir, top=40, pattern="TPU"):
+def aggregate_trace(log_dir, n_img):
+    """Leaf-level (while-bodies attributed, module/while parents excluded)
+    per-HLO-category device time with XLA's own model_flops and
+    bytes_accessed — yielding measured TFLOP/s and GB/s per class."""
     paths = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
     assert paths, f"no trace under {log_dir}"
     data = json.load(gzip.open(paths[-1]))
-    events = data["traceEvents"]
-    # pid -> process name
-    pid_name = {}
-    for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_name[ev["pid"]] = ev["args"].get("name", "")
-    device_pids = {p for p, n in pid_name.items() if pattern in n}
-    agg = defaultdict(float)
-    count = defaultdict(int)
-    total = 0.0
-    t_min, t_max = float("inf"), 0.0
-    for ev in events:
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
-        dur = ev.get("dur", 0) / 1e3  # us -> ms
-        name = ev.get("name", "?")
-        # strip uniquing suffixes: fusion.1234 -> fusion
-        base = re.sub(r"[.\d]+$", "", name) or name
-        agg[base] += dur
-        count[base] += 1
-        total += dur
-        t_min = min(t_min, ev.get("ts", t_min))
-        t_max = max(t_max, ev.get("ts", 0) + ev.get("dur", 0))
-    wall = (t_max - t_min) / 1e3 if t_max > t_min else 0.0
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
-    return rows, count, total, wall
+    evs = [e for e in data["traceEvents"]
+           if e.get("ph") == "X" and "device_duration_ps" in (e.get("args") or {})]
+    whiles = sorted((e["ts"], e["ts"] + e["dur"])
+                    for e in evs if e["name"].startswith("while"))
+
+    def in_while(e):
+        ts = e["ts"]
+        for a, b in whiles:
+            if a <= ts < b:
+                return True
+            if a > ts:
+                return False
+        return False
+
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0])
+    for e in evs:
+        n = e["name"]
+        if n.startswith("while") or n.startswith("jit_"):
+            continue  # parents: their bodies are separate leaf events
+        a = e["args"]
+        key = ("attention-loop" if in_while(e) else "main",
+               a.get("hlo_category", "?"))
+        agg[key][0] += float(a["device_duration_ps"]) / 1e9
+        agg[key][1] += float(a.get("model_flops") or 0)
+        agg[key][2] += float(a.get("bytes_accessed") or 0)
+    rows = []
+    for (w, c), (t, f, b) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        rows.append({"where": w, "category": c,
+                     "ms_per_img": round(t / n_img, 2),
+                     "tflops_rate": round(f / t * 1e-9, 1),
+                     "gbps": round(b / t * 1e-6)})
+    total_t = sum(v[0] for v in agg.values())
+    total_f = sum(v[1] for v in agg.values())
+    return rows, total_t, total_f
 
 
 def main():
@@ -84,7 +94,6 @@ def main():
     ap.add_argument("--width", type=int, default=620)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--dcn_impl", default="pallas", choices=["pallas", "xla"])
-    ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--log_dir", default="/tmp/glare_stage3_trace")
     args = ap.parse_args()
 
@@ -110,14 +119,28 @@ def main():
     print(f"traced {args.iters} iters batch {args.batch}: "
           f"{n_img / dt:.2f} img/s (incl. trace overhead)")
 
-    rows, cnt, total, wall = aggregate_trace(args.log_dir, args.top)
-    print(f"\nTPU device plane: {total:.1f} ms busy over {wall:.1f} ms wall "
-          f"({100 * total / max(wall, 1e-9):.0f}% occupancy), "
-          f"{total / n_img:.2f} ms busy/img")
-    print(f"{'op (base name)':44s} {'ms':>9s} {'ms/img':>8s} {'%':>5s} {'n':>5s}")
-    for name, ms in rows:
-        print(f"{name[:44]:44s} {ms:9.2f} {ms / n_img:8.2f} "
-              f"{100 * ms / total:5.1f} {cnt[name]:5d}")
+    rows, total_t, total_f = aggregate_trace(args.log_dir, n_img)
+    tflop_img = total_f / 1e12 / n_img
+    print(f"\nleaf device time {total_t / n_img:.1f} ms/img, "
+          f"XLA model_flops {tflop_img:.2f} TFLOP/img "
+          f"(ceiling {197 / tflop_img:.1f} img/s at 100% MFU)")
+    print(f"{'where':15s} {'category':24s} {'ms/img':>7s} {'TFLOP/s':>8s} {'GB/s':>7s}")
+    for r in rows:
+        if r["ms_per_img"] < 0.03:
+            continue
+        print(f"{r['where']:15s} {r['category'][:24]:24s} "
+              f"{r['ms_per_img']:7.2f} {r['tflops_rate']:8.1f} {r['gbps']:7d}")
+    import json as _json
+
+    out_path = "PROFILE_r03.json"
+    _json.dump({"config": f"stage3 inference {args.width}x{args.height} "
+                          f"{args.dtype} B={args.batch} {args.dcn_impl}-DCN, "
+                          f"{args.iters} traced iters",
+                "leaf_ms_per_img": round(total_t / n_img, 1),
+                "model_tflop_per_img": round(tflop_img, 2),
+                "implied_ceiling_img_s_100mfu": round(197 / tflop_img, 1),
+                "breakdown": rows}, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -87,6 +87,10 @@ def main():
                         help="timed repetitions; JSON reports the median "
                              "img/s and the max-min spread")
     parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--no_remat", action="store_true",
+                        help="train_stage3: disable AFT-block remat (the "
+                             "chain DCN path has no giant backward temps, "
+                             "so full-graph training may fit and run faster)")
     parser.add_argument("--height", type=int, default=420)
     parser.add_argument("--width", type=int, default=620)
     parser.add_argument("--dtype", default=None,
@@ -291,6 +295,7 @@ def bench_train_stage3(args):
     step, params, opt_state, lq, gt = build_stage3_train(
         batch=b, dtype_name=args.dtype if mixed else "float32",
         dcn_impl=args.dcn_impl if args.dcn_impl != "pallas" else "xla",
+        remat=not args.no_remat,
     )
 
     step = jax.jit(step)

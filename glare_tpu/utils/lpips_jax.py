@@ -62,11 +62,54 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def probe_lpips_cache() -> Optional[dict]:
+    """Assemble LPIPS-Alex weights from locally-cached torch artifacts with
+    no network access: the torchvision AlexNet backbone
+    ($TORCH_HOME/hub/checkpoints/alexnet-*.pth) plus the lpips package's
+    linear calibration (lpips/weights/v0.1/alex.pth, importable when the
+    pip package is installed). Returns npz-layout arrays or None."""
+    import glob as _glob
+
+    torch_home = os.environ.get(
+        "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache", "torch")
+    )
+    backbones = sorted(_glob.glob(os.path.join(
+        torch_home, "hub", "checkpoints", "alexnet-*.pth")))
+    lin_path = None
+    try:
+        import lpips as _lpips_pkg
+
+        cand = os.path.join(os.path.dirname(_lpips_pkg.__file__),
+                            "weights", "v0.1", "alex.pth")
+        if os.path.exists(cand):
+            lin_path = cand
+    except ImportError:
+        pass
+    if not backbones or lin_path is None:
+        return None
+    import torch
+
+    bb = torch.load(backbones[0], map_location="cpu", weights_only=True)
+    lin = torch.load(lin_path, map_location="cpu", weights_only=True)
+    feat_keys = sorted({int(k.split(".")[1]) for k in bb
+                        if k.startswith("features") and k.endswith(".weight")})
+    data = {}
+    for i, fi in enumerate(feat_keys[:5]):
+        data[f"conv_{i}.weight"] = bb[f"features.{fi}.weight"].numpy()
+        data[f"conv_{i}.bias"] = bb[f"features.{fi}.bias"].numpy()
+    for i in range(5):
+        data[f"lin_{i}.weight"] = lin[f"lin{i}.model.1.weight"].numpy()
+    return data
+
+
 def load_lpips() -> Optional[object]:
     path = os.environ.get("GLARE_LPIPS_NPZ", "")
-    if not path or not os.path.exists(path):
+    if path and os.path.exists(path):
+        data = np.load(path)
+    else:
+        data = probe_lpips_cache()
+    if data is None:
         return None
-    data = np.load(path)
     module = _AlexFeatures()
     params = {}
     for i in range(5):

@@ -107,3 +107,89 @@ class TestVGGFeatureExtractor:
             v = load_vgg_params("vgg16", ["relu1_2"])
         assert "conv1_1" in v["params"] and "conv1_2" in v["params"]
         assert len(v["params"]) == 2
+
+
+class TestTorchCacheProbe:
+    """Round-3 weight-story hardening: load_vgg16_params probes the local
+    torchvision download cache ($TORCH_HOME/hub/checkpoints) before falling
+    back to a random net. Verified offline with a synthetic torchvision-
+    layout checkpoint (random weights), incl. feature parity vs a torch
+    forward of the same state dict."""
+
+    def _fake_vgg16_sd(self, seed=0):
+        g = torch.Generator().manual_seed(seed)
+        plan = [(3, 64), (64, 64), (64, 128), (128, 128),
+                (128, 256), (256, 256), (256, 256)]
+        feat_idx = [0, 2, 5, 7, 10, 12, 14]
+        sd = {}
+        for (cin, cout), fi in zip(plan, feat_idx):
+            sd[f"features.{fi}.weight"] = torch.randn(cout, cin, 3, 3, generator=g) * 0.05
+            sd[f"features.{fi}.bias"] = torch.randn(cout, generator=g) * 0.05
+        return sd
+
+    def test_probe_finds_and_converts_cache(self, tmp_path, monkeypatch):
+        from glare_tpu.modules.losses import (
+            VGG16Features,
+            load_vgg16_params,
+            probe_torch_vgg16_cache,
+        )
+
+        ckpt_dir = tmp_path / "hub" / "checkpoints"
+        ckpt_dir.mkdir(parents=True)
+        sd = self._fake_vgg16_sd()
+        torch.save(sd, ckpt_dir / "vgg16-397923af.pth")
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+        monkeypatch.delenv("GLARE_VGG16_NPZ", raising=False)
+
+        assert probe_torch_vgg16_cache() is not None
+        params, source = load_vgg16_params(return_source=True)
+        assert source.startswith("torch-cache:"), source
+
+        # feature parity: torch forward of the same weights
+        x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+        jtaps = VGG16Features().apply(params, jnp.asarray(x))
+
+        layers, li = [], 0
+        plan = [64, 64, "M", 128, 128, "M", 256, 256, 256]
+        feat_idx = [0, 2, 5, 7, 10, 12, 14]
+        convs = []
+        in_ch = 3
+        for spec in plan:
+            if spec == "M":
+                layers.append(torch.nn.MaxPool2d(2, 2))
+                continue
+            conv = torch.nn.Conv2d(in_ch, spec, 3, padding=1)
+            with torch.no_grad():
+                conv.weight.copy_(sd[f"features.{feat_idx[li]}.weight"])
+                conv.bias.copy_(sd[f"features.{feat_idx[li]}.bias"])
+            layers += [conv, torch.nn.ReLU()]
+            convs.append(conv)
+            in_ch = spec
+            li += 1
+        net = torch.nn.Sequential(*layers)
+        h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ttaps = []
+        with torch.no_grad():
+            for mi, mod in enumerate(net):
+                h = mod(h)
+                if mi in {3, 8, 15}:  # the relu1_2 / relu2_2 / relu3_3 modules
+                    ttaps.append(h)
+        assert len(ttaps) == len(jtaps) == 3
+        for a, b in zip(jtaps, ttaps):
+            np.testing.assert_allclose(
+                np.asarray(a), b.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+    def test_perceptual_network_reports_source(self, tmp_path, monkeypatch):
+        from glare_tpu.modules.losses import PerceptualNetwork
+
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path))  # empty -> no cache
+        monkeypatch.delenv("GLARE_VGG16_NPZ", raising=False)
+        with pytest.warns(UserWarning, match="RANDOM"):
+            p = PerceptualNetwork()
+        assert p.source == "random" and not p.pretrained
+
+    def test_lpips_probe_absent_is_none(self, tmp_path, monkeypatch):
+        from glare_tpu.utils.lpips_jax import probe_lpips_cache
+
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+        assert probe_lpips_cache() is None

@@ -164,6 +164,7 @@ class BasicLayer(nn.Module):
     depth: int
     num_heads: int
     window_size: int
+    mlp_ratio: float = 4.0
     dtype: Dtype = None
 
     @nn.compact
@@ -174,6 +175,7 @@ class BasicLayer(nn.Module):
                 num_heads=self.num_heads,
                 window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, x_size)
@@ -187,6 +189,8 @@ class RSTB(nn.Module):
     depth: int = 6
     num_heads: int = 8
     window_size: int = 8
+    mlp_ratio: float = 4.0
+    resi_connection: str = "1conv"
     dtype: Dtype = None
 
     @nn.compact
@@ -198,13 +202,22 @@ class RSTB(nn.Module):
             depth=self.depth,
             num_heads=self.num_heads,
             window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio,
             dtype=self.dtype,
             name="residual_group",
         )(x, x_size)
         y = res.reshape(b, h, w, c)
         from ...nn.layers import Conv
 
-        y = Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(y)
+        if self.resi_connection == "3conv":
+            # parameter-saving bottleneck (reference: network_swinir.py:465-470)
+            y = Conv(c // 4, (3, 3), padding=1, dtype=self.dtype, name="conv_0")(y)
+            y = nn.leaky_relu(y, 0.2)
+            y = Conv(c // 4, (1, 1), padding=0, dtype=self.dtype, name="conv_1")(y)
+            y = nn.leaky_relu(y, 0.2)
+            y = Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv_2")(y)
+        else:
+            y = Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(y)
         return x + y.reshape(b, n, c)
 
 

@@ -278,6 +278,100 @@ def convert_stage3(sd, n_layers=None):
     }
 
 
+def dense_w(t):
+    """torch Linear [out, in] -> flax Dense kernel [in, out]."""
+    return _np(t).T
+
+
+def convert_swinir(sd, depths=None):
+    """Full-SwinIR state dict (network_swinir.py:619 SwinIR) ->
+    glare_tpu.sr.archs.swinir_arch.SwinIR params. Handles all four
+    reconstruction heads and '1conv'/'3conv' residual connections."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    if depths is None:
+        li = {int(k.split(".")[1]) for k in sd if k.startswith("layers.")}
+        depths = []
+        for i in sorted(li):
+            bj = {int(k.split(".")[4]) for k in sd
+                  if k.startswith(f"layers.{i}.residual_group.blocks.")}
+            depths.append(max(bj) + 1)
+    out = {}
+
+    def conv(dst, src):
+        out[dst] = {"kernel": conv_w(sd[f"{src}.weight"]),
+                    "bias": vec(sd[f"{src}.bias"])}
+
+    def ln(dst, src):
+        out_parent, leaf = dst
+        out.setdefault(out_parent, {})[leaf] = {
+            "scale": vec(sd[f"{src}.weight"]), "bias": vec(sd[f"{src}.bias"])}
+
+    conv("conv_first", "conv_first")
+    if "patch_embed.norm.weight" in sd:
+        out["patch_norm"] = {"scale": vec(sd["patch_embed.norm.weight"]),
+                             "bias": vec(sd["patch_embed.norm.bias"])}
+    if "absolute_pos_embed" in sd:
+        out["absolute_pos_embed"] = _np(sd["absolute_pos_embed"])
+    for i, depth in enumerate(depths):
+        layer = {"residual_group": {}}
+        for j in range(depth):
+            p = f"layers.{i}.residual_group.blocks.{j}"
+            layer["residual_group"][f"block_{j}"] = {
+                "norm1": {"scale": vec(sd[f"{p}.norm1.weight"]),
+                          "bias": vec(sd[f"{p}.norm1.bias"])},
+                "attn": {
+                    "relative_position_bias_table":
+                        _np(sd[f"{p}.attn.relative_position_bias_table"]),
+                    "qkv": {"kernel": dense_w(sd[f"{p}.attn.qkv.weight"]),
+                            "bias": vec(sd[f"{p}.attn.qkv.bias"])},
+                    "proj": {"kernel": dense_w(sd[f"{p}.attn.proj.weight"]),
+                             "bias": vec(sd[f"{p}.attn.proj.bias"])},
+                },
+                "norm2": {"scale": vec(sd[f"{p}.norm2.weight"]),
+                          "bias": vec(sd[f"{p}.norm2.bias"])},
+                "mlp": {"fc1": {"kernel": dense_w(sd[f"{p}.mlp.fc1.weight"]),
+                                "bias": vec(sd[f"{p}.mlp.fc1.bias"])},
+                        "fc2": {"kernel": dense_w(sd[f"{p}.mlp.fc2.weight"]),
+                                "bias": vec(sd[f"{p}.mlp.fc2.bias"])}},
+            }
+        if f"layers.{i}.conv.weight" in sd:
+            layer["conv"] = {"kernel": conv_w(sd[f"layers.{i}.conv.weight"]),
+                             "bias": vec(sd[f"layers.{i}.conv.bias"])}
+        else:  # '3conv' Sequential indices 0/2/4
+            for n, idx in enumerate((0, 2, 4)):
+                layer[f"conv_{n}"] = {
+                    "kernel": conv_w(sd[f"layers.{i}.conv.{idx}.weight"]),
+                    "bias": vec(sd[f"layers.{i}.conv.{idx}.bias"])}
+        out[f"layer_{i}"] = layer
+    out["norm"] = {"scale": vec(sd["norm.weight"]),
+                   "bias": vec(sd["norm.bias"])}
+    if "conv_after_body.weight" in sd:
+        conv("conv_after_body", "conv_after_body")
+    else:  # '3conv' Sequential indices 0/2/4
+        conv("cab_conv0", "conv_after_body.0")
+        conv("cab_conv1", "conv_after_body.2")
+        conv("cab_conv2", "conv_after_body.4")
+    if "conv_before_upsample.0.weight" in sd:
+        conv("conv_before_upsample", "conv_before_upsample.0")
+    # pixelshuffle head: upsample.{0,2,...} convs interleaved with shuffles
+    ups = sorted({int(k.split(".")[1]) for k in sd
+                  if k.startswith("upsample.") and k.endswith(".weight")})
+    if ups:
+        first = f"upsample.{ups[0]}"
+        if f"{first}.weight" in sd and "conv_before_upsample.0.weight" in sd:
+            out["upsample"] = {}
+            for n, idx in enumerate(ups):
+                out["upsample"][f"conv_{n}"] = {
+                    "kernel": conv_w(sd[f"upsample.{idx}.weight"]),
+                    "bias": vec(sd[f"upsample.{idx}.bias"])}
+        else:  # pixelshuffledirect: UpsampleOneStep conv
+            conv("upsample_conv", f"upsample.{ups[0]}")
+    for name in ("conv_up1", "conv_up2", "conv_hr", "conv_last"):
+        if f"{name}.weight" in sd:
+            conv(name, name)
+    return out
+
+
 def convert_vgg16_npz(dst):
     import torchvision
 
@@ -298,7 +392,7 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--kind", required=True,
-                        choices=["vqgan", "stage2", "stage3", "vgg16"])
+                        choices=["vqgan", "stage2", "stage3", "vgg16", "swinir"])
     parser.add_argument("--src", default=None)
     parser.add_argument("--dst", required=True)
     args = parser.parse_args()
@@ -312,7 +406,7 @@ def main():
     if "state_dict" in sd:
         sd = sd["state_dict"]
     params = {"vqgan": convert_vqgan, "stage2": convert_stage2,
-              "stage3": convert_stage3}[args.kind](sd)
+              "stage3": convert_stage3, "swinir": convert_swinir}[args.kind](sd)
     with open(args.dst, "wb") as f:
         f.write(serialization.to_bytes(params))
     print(f"wrote {args.dst}")

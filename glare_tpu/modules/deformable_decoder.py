@@ -69,6 +69,9 @@ class DCNv2Pack(nn.Module):
             [o1.reshape(B, H, W, G, K), o2.reshape(B, H, W, G, K)], axis=-1
         )
         mask = jax.nn.sigmoid(m.reshape(B, H, W, G, K))
+        # observability for clamp-safety audits (tools/offset_histogram.py);
+        # dead code unless the caller captures intermediates
+        self.sow("intermediates", "offsets", offset)
 
         weight = self.param(
             "weight",

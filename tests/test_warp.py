@@ -75,3 +75,33 @@ class TestWarpBlockFlowMode:
         out = netG.apply(merged, x, code, lr_enc["mid_feat"],
                          method=VQLLFLOWDeformable.aft_half)
         assert out.shape == (1, 32, 32, 3)
+
+
+class TestOffsetObservability:
+    def test_offset_capture_and_stats(self):
+        """DCNv2Pack sows its raw offsets; tools/offset_histogram captures
+        them and the stats reflect the actual distribution (clamp-safety
+        evidence path, round-2 verdict #4)."""
+        import jax.numpy as jnp
+
+        from glare_tpu.modules.deformable_decoder import DCNv2Pack
+        from tools.offset_histogram import offset_stats
+
+        m = DCNv2Pack(8, deformable_groups=4, impl="chain")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 8))
+        feat = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 8))
+        params = m.init(jax.random.PRNGKey(2), x, feat)
+        # push conv_offset away from zero-init so offsets are non-trivial
+        params = jax.tree_util.tree_map(lambda a: a, params)
+        co = params["params"]["conv_offset"]
+        co["bias"] = co["bias"].at[:].set(
+            jnp.asarray(np.linspace(-3, 3, co["bias"].shape[0]), jnp.float32))
+        _, st = m.apply(params, x, feat,
+                        capture_intermediates=lambda mdl, nm: nm == "offsets",
+                        mutable=["intermediates"])
+        offs = np.asarray(st["intermediates"]["offsets"][0])
+        assert offs.shape == (1, 8, 8, 4, 9, 2)
+        stats = offset_stats(offs)
+        assert stats["max"] > 2.0  # bias pushes past the clamp
+        assert stats["frac_exceed"]["2"] > 0
+        assert stats["frac_exceed"]["8"] == 0

@@ -60,11 +60,9 @@ def calculate_niqe(img, crop_border=0, input_order="HWC", convert_to="y", **kw):
                  convert_to=convert_to, **kw)
 
 
-@METRIC_REGISTRY.register()
-def calculate_fid(img, **_):
-    raise NotImplementedError(
-        "FID requires pretrained Inception statistics, unavailable offline."
-    )
+# FID lives in metrics_fid.py (frechet distance + stats + the stats-file
+# workflow of the reference CLIs); importing registers `calculate_fid`
+from . import metrics_fid  # noqa: F401,E402
 
 
 def build_metric(name):

@@ -280,3 +280,47 @@ class TestMetricsRegistry:
 
         with pytest.raises(NotImplementedError):
             calculate_niqe(np.zeros((8, 8, 3)))
+
+
+class TestFID:
+    def test_identical_distributions_zero(self):
+        from glare_tpu.sr.metrics_fid import calculate_fid, compute_stats
+
+        rng = np.random.RandomState(0)
+        feats = rng.randn(500, 16)
+        assert abs(calculate_fid(feats, feats)) < 1e-6
+        mu, s = compute_stats(feats)
+        assert abs(calculate_fid((mu, s), (mu, s))) < 1e-6
+
+    def test_mean_shift_analytic(self):
+        """For equal covariances, FID = ||mu1 - mu2||^2."""
+        from glare_tpu.sr.metrics_fid import frechet_distance
+
+        rng = np.random.RandomState(1)
+        d = 8
+        a = rng.randn(d, d)
+        sigma = a @ a.T + np.eye(d)
+        mu1 = np.zeros(d)
+        mu2 = np.full(d, 0.5)
+        got = frechet_distance(mu1, sigma, mu2, sigma)
+        np.testing.assert_allclose(got, 0.25 * d, rtol=1e-6)
+
+    def test_shifted_gaussians_positive_and_ordered(self):
+        from glare_tpu.sr.metrics_fid import calculate_fid
+
+        rng = np.random.RandomState(2)
+        base = rng.randn(800, 8)
+        near = base + 0.1 * rng.randn(800, 8)
+        far = base + 2.0 + 0.5 * rng.randn(800, 8)
+        f_near = calculate_fid(base, near)
+        f_far = calculate_fid(base, far)
+        assert 0 <= f_near < f_far
+
+    def test_registry_and_informative_error(self):
+        from glare_tpu.sr.metrics import build_metric
+
+        fn = build_metric("calculate_fid")
+        rng = np.random.RandomState(3)
+        assert np.isfinite(fn(rng.randn(100, 4), rng.randn(100, 4)))
+        with pytest.raises(NotImplementedError, match="InceptionV3"):
+            fn(None, imgs1=np.zeros((2, 8, 8, 3)), imgs2=np.zeros((2, 8, 8, 3)))

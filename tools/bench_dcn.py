@@ -14,7 +14,9 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--impl", default="pallas", choices=["pallas", "xla", "chain"])
+    p.add_argument("--rows_per_step", type=int, default=8)
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--H", type=int, default=420)
     p.add_argument("--W", type=int, default=620)
     p.add_argument("--C", type=int, default=128)
@@ -25,13 +27,17 @@ def main():
     args = p.parse_args()
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.standard_normal((1, args.H, args.W, args.C)).astype(np.float32))
-    off = jnp.asarray((1.5 * rng.standard_normal((1, args.H, args.W, args.G, 9, 2))).astype(np.float32))
-    mask = jnp.asarray(rng.uniform(0, 1, (1, args.H, args.W, args.G, 9)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((args.batch, args.H, args.W, args.C)).astype(np.float32))
+    off = jnp.asarray((1.5 * rng.standard_normal((args.batch, args.H, args.W, args.G, 9, 2))).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (args.batch, args.H, args.W, args.G, 9)).astype(np.float32))
     w = jnp.asarray((0.1 * rng.standard_normal((3, 3, args.C, args.O))).astype(np.float32))
 
     if args.impl == "pallas":
         from glare_tpu.ops.dcn_pallas import modulated_deform_conv_pallas as op
+        f = jax.jit(lambda *a: op(*a, max_offset=args.max_offset,
+                                  rows_per_step=args.rows_per_step))
+    elif args.impl == "chain":
+        from glare_tpu.ops.dcn import modulated_deform_conv_chain as op
         f = jax.jit(lambda *a: op(*a, max_offset=args.max_offset))
     else:
         from glare_tpu.ops.dcn import modulated_deform_conv as op

@@ -290,12 +290,15 @@ def bench_train_stage3(args):
     (train_stage3_LOL.yml: GT_size 256, batch 2; bigger --batch allowed)."""
     from tools.flops_audit import build_stage3_train
 
+    if args.dcn_impl == "pallas":
+        # the Pallas kernel is forward-only; training defaults to the chain
+        # op (the shipped trainer default, networks.py)
+        args.dcn_impl = "chain"
     b = args.batch or 2  # shipped conf batch (train_stage3_LOL.yml:34)
     mixed = args.dtype == "bfloat16"
     step, params, opt_state, lq, gt = build_stage3_train(
         batch=b, dtype_name=args.dtype if mixed else "float32",
-        dcn_impl=args.dcn_impl if args.dcn_impl != "pallas" else "xla",
-        remat=not args.no_remat,
+        dcn_impl=args.dcn_impl, remat=not args.no_remat,
     )
 
     step = jax.jit(step)

@@ -32,7 +32,13 @@ def define_Flow(opt, step=0, dtype=None):
         return LLFlowVQGAN2(dtype=dtype, **kw)
     if which_model == "VQLLFLOWDeformable":
         warp_mode = opt_get(opt, ["network_G", "warp_mode"], "dcn") or "dcn"
-        dcn_impl = opt_get(opt, ["network_G", "dcn_impl"], "xla") or "xla"
+        # training defaults to the chain op: clamped-offset DCNv2 as a dense
+        # select-chain whose autodiff backward is gather/scatter-free —
+        # 3.6x faster than the XLA-gather path (8.9 vs 2.5 img/s @256^2 b2,
+        # PERF_NOTES.md). Inference defaults to the exact unbounded op for
+        # strict parity; set network_G.dcn_impl to override either.
+        dcn_impl = opt_get(opt, ["network_G", "dcn_impl"], None) or (
+            "chain" if opt.get("is_train") else "xla")
         # remat the AFT decoder blocks when training (stage-3 @256^2 b2
         # otherwise exceeds one v5e's HBM); no-op for inference graphs
         remat = opt_get(opt, ["network_G", "remat"],

@@ -39,10 +39,13 @@ def define_Flow(opt, step=0, dtype=None):
         # strict parity; set network_G.dcn_impl to override either.
         dcn_impl = opt_get(opt, ["network_G", "dcn_impl"], None) or (
             "chain" if opt.get("is_train") else "xla")
-        # remat the AFT decoder blocks when training (stage-3 @256^2 b2
-        # otherwise exceeds one v5e's HBM); no-op for inference graphs
+        # remat the AFT decoder blocks when training with the gather-based
+        # DCN (stage-3 @256^2 b2 otherwise exceeds one v5e's HBM). The
+        # chain op's backward is gather/scatter-free and fits without
+        # remat, where dropping it is a further 14% (10.18 vs 8.90 img/s,
+        # 98% f32 MFU, PERF_NOTES.md round-3 sweep); no-op for inference.
         remat = opt_get(opt, ["network_G", "remat"],
-                        bool(opt.get("is_train")))
+                        bool(opt.get("is_train")) and dcn_impl != "chain")
         return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode,
                                   dcn_impl=dcn_impl, remat=bool(remat), **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")

@@ -218,6 +218,15 @@ class AttnBlock(nn.Module):
     # which is what bounds the chunked path at 16k tokens
     softmax_bf16: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("GLARE_ATTN_MAT_BF16", "0") == "1")
+    # unroll the q-chunk loop when n_chunks <= this (0 = keep lax.map).
+    # Hypothesis was that unrolling lets XLA pipeline chunk k's softmax with
+    # chunk k+1's matmuls (the trace shows the loop body at 147 vs 168
+    # TFLOP/s outside loops); MEASURED NEGATIVE at 620x420 B=8:
+    # unroll=8 -> 5.87 img/s vs lax.map 7.67 (the live score buffers push
+    # the fused graph out of VMEM). Kept as an opt-in reproducibility knob,
+    # default off (PERF_NOTES.md round-3 sweep).
+    unroll_chunks: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("GLARE_ATTN_UNROLL", "0")))
 
     @nn.compact
     def __call__(self, x):
@@ -286,7 +295,10 @@ class AttnBlock(nn.Module):
                     preferred_element_type=jnp.float32,
                 ).astype(x.dtype)
 
-            out = jax.lax.map(one_chunk, qp)  # [n_chunks, b, qc, c]
+            if 0 < n_chunks <= self.unroll_chunks:
+                out = jnp.stack([one_chunk(qp[i]) for i in range(n_chunks)])
+            else:
+                out = jax.lax.map(one_chunk, qp)  # [n_chunks, b, qc, c]
             out = out.transpose(1, 0, 2, 3).reshape(b, n_chunks * qc, c)[:, :n]
 
         out = out.reshape(b, h, w, c)

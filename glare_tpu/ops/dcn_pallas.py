@@ -29,7 +29,10 @@ Offsets are CLAMPED to [-R, R] (max_offset). GLARE's learned offsets are
 small (the reference warns when mean |offset| > 50 but trained values are
 ~1-2 px); the exact unbounded op remains available via ops.dcn.
 
-f32 only in-kernel (MXU accumulates f32; gathers need bitwidth match).
+Accumulation is f32 in-kernel (MXU f32, HIGHEST). bf16 inputs keep a
+bf16 band through pad/transpose + DMA (halved traffic — there are no
+gathers left, so no bitwidth-match constraint) and are cast to f32 at
+shift materialization; all other dtypes take the f32 band.
 """
 
 from __future__ import annotations
@@ -83,7 +86,9 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     # + clip(d) with ky in [-1,1], P0 = R+2), so the union over the block
     # is [1, 2R+3+rpb-1].
     def mat_body(dr2, _):
-        row = band[dr2 + r_off]  # [C, 2*seg]; dynamic untiled index: cheap
+        # [C, 2*seg]; dynamic untiled index: cheap. The band may be bf16
+        # (halved DMA) — cast once here so shifts/accumulation stay f32.
+        row = band[dr2 + r_off].astype(jnp.float32)
         for i in range(nsh):
             shifts_all[dr2 * nsh + i] = row[:, i + 1:i + 1 + seg]
         return 0
@@ -141,7 +146,7 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
                                              "rows_per_step"))
 def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
                                  max_offset=2, interpret=False,
-                                 rows_per_step=8):
+                                 rows_per_step=16):
     """DCNv2 with clamped offsets, Pallas kernel. Layouts as ops.dcn:
     x [B,H,W,C], offset [B,H,W,G,K,2], mask [B,H,W,G,K], weight HWIO.
     3x3, stride 1, pad 1 only."""
@@ -169,8 +174,14 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     right_pad = (Wp_out + seg) - W - P0
     last_r0 = ((H_pad - rpb) // 8) * 8
     bottom_pad = max(last_r0 + band_alloc - H - P0, 0) + 8
+    # bf16 inputs stay bf16 through the pad/transpose and the band DMA
+    # (halves the formatting traffic and the per-step DMA); the kernel
+    # casts rows to f32 at shift materialization, so accumulation precision
+    # is unchanged. No gathers remain in this design, so there is no
+    # bitwidth-match constraint on the band. Other dtypes go through f32.
+    band_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     xp = jnp.pad(
-        x.astype(jnp.float32),
+        x.astype(band_dtype),
         [(0, 0), (P0, bottom_pad), (P0, right_pad), (0, 0)],
     )
     xt = jnp.transpose(xp, (0, 1, 3, 2))  # [B, Hp, C, Wp]
@@ -238,7 +249,7 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         out_shape=jax.ShapeDtypeStruct((B, n_rblk, n_seg, rpb, seg, O),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((band_alloc, C, 2 * seg), jnp.float32),
+            pltpu.VMEM((band_alloc, C, 2 * seg), band_dtype),
             pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
             pltpu.VMEM((seg, O), jnp.float32),
             pltpu.VMEM(((2 * R + 3 + rpb) * (2 * R + 3), C, seg), jnp.float32),

@@ -1,5 +1,10 @@
 """Pallas DCN kernel (experimental backend): interpret-mode parity with the
-XLA implementation under offset clamping."""
+XLA implementation under offset clamping.
+
+rows_per_step is pinned per case (interpret-mode cost scales with the
+trace length ∝ rows_per_step): the shipped default 16 is covered on the
+small shape, 8 on the larger one.
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -10,8 +15,11 @@ from glare_tpu.ops.dcn_pallas import modulated_deform_conv_pallas
 
 
 class TestPallasDCN:
-    @pytest.mark.parametrize("shape", [(1, 6, 140, 8, 2, 16), (2, 5, 130, 16, 4, 8)])
-    def test_matches_xla_clamped(self, shape):
+    @pytest.mark.parametrize(
+        "shape,rps",
+        [((1, 6, 140, 8, 2, 16), 16), ((2, 5, 130, 16, 4, 8), 8)],
+    )
+    def test_matches_xla_clamped(self, shape, rps):
         B, H, W, C, G, O = shape
         rng = np.random.RandomState(0)
         x = rng.standard_normal((B, H, W, C)).astype(np.float32)
@@ -28,6 +36,7 @@ class TestPallasDCN:
             modulated_deform_conv_pallas(
                 jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
                 jnp.asarray(weight), max_offset=2, interpret=True,
+                rows_per_step=rps,
             )
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
@@ -48,6 +57,32 @@ class TestPallasDCN:
             modulated_deform_conv_pallas(jnp.asarray(x), jnp.asarray(offset),
                                          jnp.asarray(mask), jnp.asarray(weight),
                                          jnp.asarray(bias), max_offset=2,
-                                         interpret=True)
+                                         interpret=True, rows_per_step=4)
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_bf16_band_path(self):
+        """bf16 inputs keep a bf16 band (halved DMA); accumulation stays f32,
+        so parity vs the exact op on bf16-quantized inputs holds at bf16
+        resolution."""
+        rng = np.random.RandomState(2)
+        x = rng.standard_normal((1, 5, 132, 8)).astype(np.float32)
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        offset = (3.0 * rng.standard_normal((1, 5, 132, 2, 9, 2))).astype(np.float32)
+        mask = rng.uniform(0, 1, (1, 5, 132, 2, 9)).astype(np.float32)
+        weight = (0.2 * rng.standard_normal((3, 3, 8, 8))).astype(np.float32)
+        want = np.asarray(
+            modulated_deform_conv(
+                xb.astype(jnp.float32), jnp.asarray(np.clip(offset, -2, 2)),
+                jnp.asarray(mask), jnp.asarray(weight),
+            )
+        )
+        got = np.asarray(
+            modulated_deform_conv_pallas(
+                xb, jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(weight), max_offset=2, interpret=True,
+                rows_per_step=4,
+            ).astype(jnp.float32)
+        )
+        # output is cast back to x.dtype (bf16) — compare at bf16 resolution
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)

@@ -15,7 +15,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--impl", default="pallas", choices=["pallas", "xla", "chain"])
-    p.add_argument("--rows_per_step", type=int, default=8)
+    p.add_argument("--rows_per_step", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--H", type=int, default=420)
     p.add_argument("--W", type=int, default=620)

@@ -46,8 +46,12 @@ def define_Flow(opt, step=0, dtype=None):
         # 98% f32 MFU, PERF_NOTES.md round-3 sweep); no-op for inference.
         remat = opt_get(opt, ["network_G", "remat"],
                         bool(opt.get("is_train")) and dcn_impl != "chain")
+        # clamp radius for the clamped impls (pallas/chain); 2 matches the
+        # learned-offset regime, 4 widens the safety margin (PERF_NOTES.md)
+        dcn_r = int(opt_get(opt, ["network_G", "dcn_max_offset"], 2) or 2)
         return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode,
-                                  dcn_impl=dcn_impl, remat=bool(remat), **kw)
+                                  dcn_impl=dcn_impl, dcn_max_offset=dcn_r,
+                                  remat=bool(remat), **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")
 
 

@@ -51,6 +51,10 @@ class DCNv2Pack(nn.Module):
     # passes 4096 (via remat) or the backward's lane-padded gather temps
     # exceed one v5e's HBM (see ops/dcn.py)
     pixels_per_chunk: int = 16384
+    # clamp radius for the 'pallas'/'chain' impls (ignored by exact 'xla').
+    # 2 covers GLARE's learned-offset regime; 4 widens the safety margin at
+    # (2R+1)^2-cell cost (both impls verified at R=4, PERF_NOTES.md)
+    max_offset: int = 2
 
     @nn.compact
     def __call__(self, x, feat):
@@ -86,13 +90,13 @@ class DCNv2Pack(nn.Module):
             from ..ops.dcn_pallas import modulated_deform_conv_pallas
 
             return modulated_deform_conv_pallas(
-                x, offset, mask, weight, bias, max_offset=2
+                x, offset, mask, weight, bias, max_offset=self.max_offset
             ).astype(x.dtype)
         if self.impl == "chain":
             from ..ops.dcn import modulated_deform_conv_chain
 
             return modulated_deform_conv_chain(
-                x, offset, mask, weight, bias, max_offset=2
+                x, offset, mask, weight, bias, max_offset=self.max_offset
             ).astype(x.dtype)
         return modulated_deform_conv(
             x, offset, mask, weight, bias, padding=k // 2,
@@ -115,6 +119,7 @@ class WarpBlock(nn.Module):
     flow_max_offset: int = 2
     dcn_impl: str = "xla"
     dcn_pixels_per_chunk: int = 16384
+    dcn_max_offset: int = 2
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -136,6 +141,7 @@ class WarpBlock(nn.Module):
         return DCNv2Pack(c, deformable_groups=4, dtype=self.dtype,
                          impl=self.dcn_impl,
                          pixels_per_chunk=self.dcn_pixels_per_chunk,
+                         max_offset=self.dcn_max_offset,
                          name="dcn")(x_vq, side)
 
 
@@ -174,6 +180,7 @@ class MultiScaleDecoder2(nn.Module):
     dtype: Dtype = None
     warp_mode: str = "dcn"
     dcn_impl: str = "xla"
+    dcn_max_offset: int = 2
     # per-block rematerialization for training memory (see
     # vqllflow_deformable.VQLLFLOWDeformable.remat)
     remat: bool = False
@@ -217,6 +224,7 @@ class MultiScaleDecoder2(nn.Module):
                 x_vq = WB(
                     dtype=self.dtype, warp_mode=self.warp_mode,
                     dcn_impl=self.dcn_impl,
+                    dcn_max_offset=self.dcn_max_offset,
                     # training (remat on) needs small DCN chunks for HBM
                     dcn_pixels_per_chunk=4096 if self.remat else 16384,
                     name=f"warp_{1 - i_level}",

@@ -39,6 +39,7 @@ class VQLLFLOWDeformable(nn.Module):
     dtype: Dtype = None
     warp_mode: str = "dcn"
     dcn_impl: str = "xla"
+    dcn_max_offset: int = 2
     # rematerialize the AFT decoder blocks during training: the stage-3
     # train step at the shipped conf (256^2, b=2) otherwise exceeds one
     # v5e's 16 GB HBM (the DCN backward's padding-expanded im2col temps) —
@@ -56,7 +57,8 @@ class VQLLFLOWDeformable(nn.Module):
         )
         self.deformable_decoder = MultiScaleDecoder2(
             ch=128, dtype=self.dtype, warp_mode=self.warp_mode,
-            dcn_impl=self.dcn_impl, remat=self.remat,
+            dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
+            remat=self.remat,
         )
 
     def __call__(self, lr, code_decoder_output=None, x_latent=None, mid_feat=None):

@@ -77,6 +77,41 @@ class TestWarpBlockFlowMode:
         assert out.shape == (1, 32, 32, 3)
 
 
+class TestConfigurableRadius:
+    """network_G.dcn_max_offset plumbing: DCNv2Pack(max_offset=R) must reach
+    the clamped op (pallas/chain impls)."""
+
+    @staticmethod
+    def _run(r, offset_bias):
+        from glare_tpu.modules.deformable_decoder import DCNv2Pack
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 8))
+        feat = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 8))
+        m = DCNv2Pack(8, deformable_groups=4, impl="chain", max_offset=r)
+        params = m.init(jax.random.PRNGKey(2), x, feat)
+        co = params["params"]["conv_offset"]
+        # conv_offset kernel is zero-init, so offsets == broadcast bias
+        n = co["bias"].shape[0]
+        co["bias"] = co["bias"].at[: 2 * n // 3].set(offset_bias)
+        out, st = m.apply(
+            params, x, feat,
+            capture_intermediates=lambda mdl, nm: nm == "offsets",
+            mutable=["intermediates"])
+        return np.asarray(out), np.asarray(st["intermediates"]["offsets"][0])
+
+    def test_radius_reaches_op_when_offsets_exceed_2(self):
+        out2, offs = self._run(2, 3.0)
+        out4, _ = self._run(4, 3.0)
+        assert offs.max() == 3.0  # past the default clamp, inside R=4
+        assert np.abs(out4 - out2).max() > 1e-4
+
+    def test_radii_agree_inside_both_clamps(self):
+        out2, offs = self._run(2, 1.5)
+        out4, _ = self._run(4, 1.5)
+        assert offs.max() == 1.5
+        np.testing.assert_allclose(out2, out4, atol=1e-5)
+
+
 class TestOffsetObservability:
     def test_offset_capture_and_stats(self):
         """DCNv2Pack sows its raw offsets; tools/offset_histogram captures

@@ -16,6 +16,9 @@ segment):
   * one band DMA serves all rows_per_step output rows (consecutive rows
     share all but one band row); each (band row, lane shift) slice is
     materialized into VMEM scratch exactly once per step.
+  * the band is double-buffered: each grid step prefetches the NEXT
+    step's band into the other slot before computing, so the DMA rides
+    under the select-chain instead of serializing ahead of it.
   * the bilinear hat surface (row hat x col hat x modulation mask) is
     built per output row as full-width [GK, seg] VPU ops.
   * per (group g, tap k): the row/column hats are non-zero only on a
@@ -50,7 +53,8 @@ _KX = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
 
 
 def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
-            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc, seg, rpb):
+            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc, seg, rpb,
+            n_rblk, n_seg, n_b, dot_bf16):
     b = pl.program_id(0)
     rblk = pl.program_id(1)
     s = pl.program_id(2)
@@ -61,23 +65,52 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     cols = 2 * seg
     P0 = R + 2
     span = 2 * R + 1
-    # band layout [band_alloc rows, C, 2*seg]: the row axis is untiled, so a
-    # fori_loop can index it dynamically. DMA start must be 8-aligned: start
-    # at the aligned row below the block's first output row and carry the
-    # residue r_off (uniform across the block's rows).
+    # band layout [2*band_alloc rows, C, 2*seg], two slots double-buffered:
+    # the DMA for grid step i+1 is started during step i's compute, so band
+    # traffic overlaps the select-chain instead of serializing ahead of it.
+    # The row axis is untiled, so a fori_loop can index it dynamically.
+    # DMA start must be 8-aligned: start at the aligned row below the
+    # block's first output row and carry the residue r_off (uniform across
+    # the block's rows).
+    total = n_b * n_rblk * n_seg
+    step = (b * n_rblk + rblk) * n_seg + s
+    slot = jax.lax.rem(step, 2)
     r = rblk * rpb
     r0 = (r // 8) * 8
     r_off = (r - r0).astype(jnp.int32)
-    dma = pltpu.make_async_copy(
-        xt_ref.at[b, pl.ds(r0, band_alloc), :, pl.ds(s * seg, cols)],
-        band,
-        sem,
-    )
-    dma.start()
+
+    def band_dma(slot_static, b_, rblk_, s_):
+        r0_ = ((rblk_ * rpb) // 8) * 8
+        return pltpu.make_async_copy(
+            xt_ref.at[b_, pl.ds(r0_, band_alloc), :, pl.ds(s_ * seg, cols)],
+            band.at[pl.ds(slot_static * band_alloc, band_alloc)],
+            sem.at[slot_static],
+        )
+
+    # first step primes its own slot
+    @pl.when(step == 0)
+    def _():
+        band_dma(0, b, rblk, s).start()
+
+    # prefetch the next step's band into the other slot
+    nxt = step + 1
+    s_n = jax.lax.rem(nxt, n_seg)
+    rblk_n = jax.lax.rem(nxt // n_seg, n_rblk)
+    b_n = nxt // (n_seg * n_rblk)
+    for cur in (0, 1):
+        @pl.when(jnp.logical_and(slot == cur, nxt < total))
+        def _():
+            band_dma(1 - cur, b_n, rblk_n, s_n).start()
 
     base = jax.lax.broadcasted_iota(jnp.int32, (GK, seg), 1).astype(jnp.float32)
 
-    dma.wait()
+    # wait on this step's slot (descriptor reconstructed with identical
+    # src/dst/sem — started by the previous step, or just above for step 0)
+    for cur in (0, 1):
+        @pl.when(slot == cur)
+        def _():
+            band_dma(cur, b, rblk, s).wait()
+    slot_base = slot * band_alloc
 
     # hoist the shifted band rows: an unaligned lane slice read inside the
     # accumulation loop costs ~40x (lane rotation per use, PERF_NOTES.md);
@@ -88,7 +121,7 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     def mat_body(dr2, _):
         # [C, 2*seg]; dynamic untiled index: cheap. The band may be bf16
         # (halved DMA) — cast once here so shifts/accumulation stay f32.
-        row = band[dr2 + r_off].astype(jnp.float32)
+        row = band[slot_base + dr2 + r_off].astype(jnp.float32)
         for i in range(nsh):
             shifts_all[dr2 * nsh + i] = row[:, i + 1:i + 1 + seg]
         return 0
@@ -132,13 +165,23 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
                         acc_kg = term if acc_kg is None else acc_kg + term
                 samp[gk * Cg:(gk + 1) * Cg, :] = acc_kg
 
-        # one MXU contraction over all taps/groups
-        acc[...] = jax.lax.dot_general(
-            samp[...], w_ref[...],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # one MXU contraction over all taps/groups. For bf16 networks the
+        # operands are rounded to bf16 (f32 accumulation) — one MXU pass
+        # instead of HIGHEST's six, and no more precision than the
+        # surrounding bf16 convs carry anyway.
+        if dot_bf16:
+            acc[...] = jax.lax.dot_general(
+                samp[...].astype(jnp.bfloat16), w_ref[...].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc[...] = jax.lax.dot_general(
+                samp[...], w_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         out_ref[0, 0, 0, ri] = acc[...]
 
 
@@ -226,6 +269,8 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         functools.partial(
             _kernel, R=R, G=G, K=K, Cg=Cg, O=O,
             band_alloc=band_alloc, seg=seg, rpb=rpb,
+            n_rblk=n_rblk, n_seg=n_seg, n_b=B,
+            dot_bf16=(band_dtype == jnp.bfloat16),
         ),
         grid=grid,
         in_specs=[
@@ -249,12 +294,12 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         out_shape=jax.ShapeDtypeStruct((B, n_rblk, n_seg, rpb, seg, O),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((band_alloc, C, 2 * seg), band_dtype),
+            pltpu.VMEM((2 * band_alloc, C, 2 * seg), band_dtype),
             pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
             pltpu.VMEM((seg, O), jnp.float32),
             pltpu.VMEM(((2 * R + 3 + rpb) * (2 * R + 3), C, seg), jnp.float32),
             pltpu.VMEM(((2 * R + 4) * (2 * R + 3), G * K, seg), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

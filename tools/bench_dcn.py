@@ -24,10 +24,15 @@ def main():
     p.add_argument("--G", type=int, default=4)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--max_offset", type=int, default=2)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.standard_normal((args.batch, args.H, args.W, args.C)).astype(np.float32))
+    if args.dtype == "bfloat16":
+        # the e2e inference path feeds the kernel bf16 activations: bf16
+        # band DMA + single-pass bf16 MXU dot (f32 accumulation)
+        x = x.astype(jnp.bfloat16)
     off = jnp.asarray((1.5 * rng.standard_normal((args.batch, args.H, args.W, args.G, 9, 2))).astype(np.float32))
     mask = jnp.asarray(rng.uniform(0, 1, (args.batch, args.H, args.W, args.G, 9)).astype(np.float32))
     w = jnp.asarray((0.1 * rng.standard_normal((3, 3, args.C, args.O))).astype(np.float32))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -213,11 +213,20 @@ class AttnBlock(nn.Module):
         default_factory=lambda: int(os.environ.get("GLARE_ATTN_QCHUNK", "2048")))
     use_flash: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("GLARE_ATTN_FLASH", "0") == "1")
-    # store the softmax'd attention matrix in bf16 (max/sum still f32-
-    # accumulated): halves the HBM traffic of the [n, n] materialization,
-    # which is what bounds the chunked path at 16k tokens
-    softmax_bf16: bool = dataclasses.field(
-        default_factory=lambda: os.environ.get("GLARE_ATTN_MAT_BF16", "0") == "1")
+    # Store the [n, n] attention matrix in bf16 END TO END: the QK^T MXU
+    # pass emits bf16 scores (instead of f32) and the softmax'd probs are
+    # stored bf16 too; max/sum statistics still accumulate in f32. This
+    # halves every HBM leg of the score materialization, which is what
+    # bounds the chunked path at 16k tokens (profile: softmax loop-fusion
+    # bandwidth-saturated at 759 GB/s). Measured e2e 8.06 -> 9.16 img/s
+    # (+14%) at 620x420 B=8 bf16; parity vs the f32-score chunked path is
+    # 3.9e-3 rel-max — bf16 rounding, matched to the bf16 q/k inputs.
+    # Default AUTO: on iff the incoming q/k are bf16 (f32 networks keep
+    # f32 scores). GLARE_ATTN_MAT_BF16=1/0 forces it on/off. Round-2's
+    # probs-only-bf16 variant (flat e2e) is superseded by this one.
+    softmax_bf16: Optional[bool] = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("GLARE_ATTN_MAT_BF16", ""), None))
     # unroll the q-chunk loop when n_chunks <= this (0 = keep lax.map).
     # Hypothesis was that unrolling lets XLA pipeline chunk k's softmax with
     # chunk k+1's matmuls (the trace shows the loop body at 147 vs 168
@@ -280,15 +289,26 @@ class AttnBlock(nn.Module):
             n_chunks = qp.shape[1] // qc
             qp = qp.reshape(b, n_chunks, qc, c).transpose(1, 0, 2, 3)
 
+            mat_bf16 = (self.softmax_bf16 if self.softmax_bf16 is not None
+                        else q.dtype == jnp.bfloat16)
+
             def one_chunk(q_blk):
-                a = jnp.einsum("bqc,bkc->bqk", q_blk, k, preferred_element_type=jnp.float32)
-                if self.softmax_bf16:
-                    a = a * scale
+                if mat_bf16:
+                    # bf16 scores straight off the MXU: the [qc, n] block is
+                    # written/read from HBM at half width. exp() runs on the
+                    # f32 (score - max) difference, so the only precision
+                    # loss is bf16 rounding of the raw scores (~3 decimal
+                    # digits), matched to the bf16 q/k that produced them.
+                    a = jnp.einsum("bqc,bkc->bqk", q_blk, k,
+                                   preferred_element_type=jnp.bfloat16)
+                    a = a.astype(jnp.float32) * scale
                     m = jnp.max(a, axis=-1, keepdims=True)
                     e = jnp.exp(a - m).astype(jnp.bfloat16)
                     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
                     a = e / s.astype(jnp.bfloat16)
                 else:
+                    a = jnp.einsum("bqc,bkc->bqk", q_blk, k,
+                                   preferred_element_type=jnp.float32)
                     a = jax.nn.softmax(a * scale, axis=-1)
                 return jnp.einsum(
                     "bqk,bkc->bqc", a.astype(v.dtype), v,

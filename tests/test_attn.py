@@ -49,3 +49,43 @@ class TestAttnPaths:
         dense = _run(x, chunk_threshold=100000)
         ragged = _run(x, chunk_threshold=16, q_chunk=100, unroll_chunks=8)
         np.testing.assert_allclose(ragged, dense, atol=1e-5, rtol=1e-5)
+
+
+class TestSoftmaxBf16:
+    """The chunked path's full-bf16 score storage (auto default on bf16
+    networks): the [qc, n] score block comes off the QK^T pass in bf16 and
+    the softmax'd probs are stored bf16, stats f32-accumulated
+    (glare_tpu/nn/layers.py AttnBlock.softmax_bf16; measured +14% e2e)."""
+
+    def test_bf16_scores_match_dense_within_rounding(self, x):
+        xb = x.astype(jnp.bfloat16)
+        m = AttnBlock(dtype=jnp.bfloat16, chunk_threshold=100000)
+        params = m.init(jax.random.PRNGKey(0), xb)
+        dense = np.asarray(m.apply(params, xb), np.float64)
+        chunked = np.asarray(
+            AttnBlock(dtype=jnp.bfloat16, chunk_threshold=16, q_chunk=64,
+                      softmax_bf16=True).apply(params, xb), np.float64)
+        rel = np.max(np.abs(chunked - dense)) / (np.max(np.abs(dense)) + 1e-12)
+        assert rel < 2e-2, rel  # bf16 rounding of the scores, not a bug
+
+    def test_auto_defaults(self, x):
+        # f32 inputs keep f32 scores under the auto default: the chunked
+        # path must remain EXACTLY equal to the dense f32 path.
+        assert AttnBlock().softmax_bf16 is None
+        dense = _run(x, chunk_threshold=100000)
+        chunked = _run(x, chunk_threshold=16, q_chunk=64)  # auto, f32 input
+        np.testing.assert_allclose(chunked, dense, atol=1e-5, rtol=1e-5)
+
+    def test_forced_off_on_bf16_net(self, x):
+        # GLARE_ATTN_MAT_BF16=0 semantics: softmax_bf16=False on a bf16
+        # network gives the f32-score chunked path (the old default).
+        xb = x.astype(jnp.bfloat16)
+        m_ref = AttnBlock(dtype=jnp.bfloat16, chunk_threshold=16, q_chunk=64,
+                          softmax_bf16=False)
+        params = m_ref.init(jax.random.PRNGKey(0), xb)
+        ref = np.asarray(m_ref.apply(params, xb), np.float64)
+        on = np.asarray(
+            AttnBlock(dtype=jnp.bfloat16, chunk_threshold=16, q_chunk=64,
+                      softmax_bf16=True).apply(params, xb), np.float64)
+        rel = np.max(np.abs(on - ref)) / (np.max(np.abs(ref)) + 1e-12)
+        assert rel < 2e-2, rel

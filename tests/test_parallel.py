@@ -203,6 +203,39 @@ class TestGANDPStep:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+class TestServingDPForward:
+    def test_sharded_inference_matches_single_device(self):
+        """The stage-3 serving forward (latent_half -> VQ decode -> aft_half)
+        with the batch sharded over the mesh must match single-device — the
+        DP inference scale-out path exercised by
+        __graft_entry__.dryrun_multichip's serving block."""
+        import __graft_entry__ as g
+        from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
+
+        netG, vq, params, vq_vars = g._build_stage3(size=32)
+
+        def infer(params, vq_vars, lq):
+            x, lr_enc = netG.apply(
+                {"params": params}, lq, method=VQLLFLOWDeformable.latent_half)
+            _, _, code_out = vq.apply(vq_vars, x, method=vq.decode)
+            return netG.apply({"params": params}, x, code_out,
+                              lr_enc["mid_feat"],
+                              method=VQLLFLOWDeformable.aft_half)
+
+        lq = jnp.asarray(
+            np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32))
+        y1 = jax.jit(infer)(params, vq_vars, lq)
+
+        mesh = make_mesh()
+        repl, shard = replicate(mesh), shard_batch(mesh)
+        y2 = jax.jit(infer, in_shardings=(repl, repl, shard))(
+            jax.device_put(params, repl),
+            jax.device_put(vq_vars, repl),
+            jax.device_put(lq, shard),
+        )
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-5)
+
+
 class TestEnlargedSampler:
     def test_rank_sharding_covers_dataset(self):
         n, world = 10, 4

@@ -104,6 +104,11 @@ def main():
                              "xla: exact unbounded offsets (parity path); "
                              "chain: clamped dense select-chain (the "
                              "differentiable training formulation)")
+    parser.add_argument("--dcn_max_offset", type=int, default=2,
+                        help="clamp radius R for the clamped DCN impls "
+                             "(pallas/chain); the trained-checkpoint offset "
+                             "histogram (tools/offset_histogram.py) decides "
+                             "what R is parity-safe")
     parser.add_argument("--warp_mode", default="dcn", choices=["dcn", "flow"],
                         help="AFT alignment: dcn = DCNv2 (reference "
                              "semantics); flow = EXPERIMENTAL gather-free "
@@ -131,7 +136,8 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype, warp_mode=args.warp_mode,
-                              dcn_impl=args.dcn_impl)
+                              dcn_impl=args.dcn_impl,
+                              dcn_max_offset=args.dcn_max_offset)
     vq = VQModel(dtype=dtype)
 
     b, h, w = args.batch, args.height, args.width
@@ -195,9 +201,9 @@ def main():
     if args.warp_mode == "flow":
         metric = "stage3_infer_600x400_flowwarp_experimental"
     elif args.dcn_impl == "pallas":
-        metric = "stage3_infer_600x400_dcn_clamp2px"
+        metric = f"stage3_infer_600x400_dcn_clamp{args.dcn_max_offset}px"
     elif args.dcn_impl == "chain":
-        metric = "stage3_infer_600x400_dcn_chain_clamp2px"
+        metric = f"stage3_infer_600x400_dcn_chain_clamp{args.dcn_max_offset}px"
     else:
         metric = "stage3_infer_600x400"
     tflop = _audited_tflop("stage3", "tflop_per_img",
@@ -302,6 +308,7 @@ def bench_train_stage3(args):
     step, params, opt_state, lq, gt = build_stage3_train(
         batch=b, dtype_name=args.dtype if mixed else "float32",
         dcn_impl=args.dcn_impl, remat=remat,
+        max_offset=args.dcn_max_offset,
     )
 
     step = jax.jit(step)

@@ -202,6 +202,12 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     R = int(max_offset)
     P0 = R + 2
     rpb = int(rows_per_step)
+    if R >= 6:
+        # wide radii grow both the band and the (2R+1)^2 select-chain's
+        # scratch; rows_per_step=16 blows the 100 MB scoped-VMEM limit at
+        # R=8 (measured: 102.55M). rpb=8 compiles and runs (488.9 ms/op
+        # isolated at R=8 — the 289-cell chain dominates; see PERF_NOTES).
+        rpb = min(rpb, 8)
     # union of sample rows for a block: [1, 2R+3+rpb-1], plus the residue
     # r_off <= 7 from 8-aligning the DMA start
     band_alloc = -(-(2 * R + 3 + rpb - 1 + 7 + 1) // 8) * 8

@@ -41,6 +41,31 @@ class TestPallasDCN:
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_wide_radius_auto_rps(self):
+        # R=8: the wrapper auto-caps rows_per_step at 8 (rps=16 exceeds the
+        # scoped-VMEM limit on hardware); parity vs the XLA op with
+        # +-8-clipped offsets.
+        rng = np.random.RandomState(3)
+        B, H, W, C, G, O = 1, 6, 140, 8, 2, 16
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        offset = (12.0 * rng.standard_normal((B, H, W, G, 9, 2))).astype(np.float32)
+        mask = rng.uniform(0, 1, (B, H, W, G, 9)).astype(np.float32)
+        weight = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+        want = np.asarray(
+            modulated_deform_conv(
+                jnp.asarray(x), jnp.asarray(np.clip(offset, -8, 8)),
+                jnp.asarray(mask), jnp.asarray(weight),
+            )
+        )
+        got = np.asarray(
+            modulated_deform_conv_pallas(
+                jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(weight), max_offset=8, interpret=True,
+                rows_per_step=16,  # wrapper must drop this to 8 itself
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
     def test_bias(self):
         rng = np.random.RandomState(1)
         x = rng.standard_normal((1, 4, 132, 8)).astype(np.float32)

@@ -154,7 +154,8 @@ def stage2_train_flops(batch=4, gt_size=320):
     return f_step / b
 
 
-def build_stage3_train(batch=2, gt_size=256, dtype_name="float32", dcn_impl="xla", remat=True):
+def build_stage3_train(batch=2, gt_size=256, dtype_name="float32", dcn_impl="xla", remat=True,
+                       max_offset=2):
     """Stage-3 AFT training-step ingredients at the shipped conf's shapes
     (train_stage3_LOL.yml: GT_size 256, batch 2): frozen latent_half + VQ
     decode, trainable AFT, loss = l1 + 0.01*VGG16-percep + 0.2*(1-msssim)
@@ -177,7 +178,8 @@ def build_stage3_train(batch=2, gt_size=256, dtype_name="float32", dcn_impl="xla
     from glare_tpu.modules.vqmodel import VQModel
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
-    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl=dcn_impl, remat=remat, dtype=dtype)
+    netG = VQLLFLOWDeformable(K=12, L=2, dcn_impl=dcn_impl, remat=remat, dtype=dtype,
+                              dcn_max_offset=max_offset)
     vq = VQModel(dtype=dtype)
     b, s = batch, gt_size
 

@@ -276,8 +276,22 @@ class AttnBlock(nn.Module):
             )
             out = out[:, 0, :n, :].astype(x.dtype)
         elif n <= self.chunk_threshold:
-            attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-            attn = jax.nn.softmax(attn * scale, axis=-1)
+            # same auto-bf16 score semantics as the chunked path below, so
+            # a bf16 network behaves uniformly across image sizes
+            mat_bf16 = (self.softmax_bf16 if self.softmax_bf16 is not None
+                        else q.dtype == jnp.bfloat16)
+            if mat_bf16:
+                attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                                  preferred_element_type=jnp.bfloat16)
+                a = attn.astype(jnp.float32) * scale
+                m = jnp.max(a, axis=-1, keepdims=True)
+                e = jnp.exp(a - m).astype(jnp.bfloat16)
+                s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+                attn = e / s.astype(jnp.bfloat16)
+            else:
+                attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                                  preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(attn * scale, axis=-1)
             out = jnp.einsum(
                 "bqk,bkc->bqc", attn.astype(v.dtype), v,
                 preferred_element_type=jnp.float32,

@@ -57,6 +57,7 @@ class Conv(nn.Module):
     zero_init: bool = False
     feature_group_count: int = 1
     dtype: Dtype = None
+    kernel_init: Any = None  # optional override (e.g. scaled-kaiming)
 
     @nn.compact
     def __call__(self, x):
@@ -67,7 +68,7 @@ class Conv(nn.Module):
             kinit = nn.initializers.zeros
             binit = nn.initializers.zeros
         else:
-            kinit = torch_conv_kernel_init
+            kinit = self.kernel_init or torch_conv_kernel_init
             binit = torch_conv_bias_init(kh * kw * in_ch // self.feature_group_count)
         kernel = self.param("kernel", kinit, kshape)
         pad = self.padding

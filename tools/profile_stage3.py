@@ -75,6 +75,19 @@ def aggregate_trace(log_dir, n_img):
         agg[key][0] += float(a["device_duration_ps"]) / 1e9
         agg[key][1] += float(a.get("model_flops") or 0)
         agg[key][2] += float(a.get("bytes_accessed") or 0)
+    # per-op self time (op names collapse fused-instruction suffixes) for
+    # attributing inside coarse categories like "data formatting"
+    ops = defaultdict(lambda: [0.0, "?"])
+    for e in evs:
+        n = e["name"]
+        if n.startswith("while") or n.startswith("jit_"):
+            continue
+        a = e["args"]
+        base = n.split(".")[0]
+        ops[base][0] += float(a["device_duration_ps"]) / 1e9
+        ops[base][1] = a.get("hlo_category", "?")
+    top_ops = [{"op": k, "category": v[1], "ms_per_img": round(v[0] / n_img, 2)}
+               for k, v in sorted(ops.items(), key=lambda kv: -kv[1][0])[:25]]
     rows = []
     for (w, c), (t, f, b) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
         rows.append({"where": w, "category": c,
@@ -83,7 +96,7 @@ def aggregate_trace(log_dir, n_img):
                      "gbps": round(b / t * 1e-6)})
     total_t = sum(v[0] for v in agg.values())
     total_f = sum(v[1] for v in agg.values())
-    return rows, total_t, total_f
+    return rows, total_t, total_f, top_ops
 
 
 def main():
@@ -119,7 +132,7 @@ def main():
     print(f"traced {args.iters} iters batch {args.batch}: "
           f"{n_img / dt:.2f} img/s (incl. trace overhead)")
 
-    rows, total_t, total_f = aggregate_trace(args.log_dir, n_img)
+    rows, total_t, total_f, top_ops = aggregate_trace(args.log_dir, n_img)
     tflop_img = total_f / 1e12 / n_img
     print(f"\nleaf device time {total_t / n_img:.1f} ms/img, "
           f"XLA model_flops {tflop_img:.2f} TFLOP/img "
@@ -130,6 +143,10 @@ def main():
             continue
         print(f"{r['where']:15s} {r['category'][:24]:24s} "
               f"{r['ms_per_img']:7.2f} {r['tflops_rate']:8.1f} {r['gbps']:7d}")
+    print("\ntop ops by self time:")
+    for o in top_ops:
+        if o["ms_per_img"] >= 0.1:
+            print(f"  {o['ms_per_img']:7.2f}  {o['category'][:18]:18s} {o['op'][:70]}")
     import json as _json
 
     out_path = "PROFILE_r03.json"
@@ -139,7 +156,8 @@ def main():
                 "leaf_ms_per_img": round(total_t / n_img, 1),
                 "model_tflop_per_img": round(tflop_img, 2),
                 "implied_ceiling_img_s_100mfu": round(197 / tflop_img, 1),
-                "breakdown": rows}, open(out_path, "w"), indent=1)
+                "breakdown": rows, "top_ops": top_ops},
+               open(out_path, "w"), indent=1)
     print(f"wrote {out_path}")
 
 

@@ -91,6 +91,9 @@ def main():
                         help="train_stage3: disable AFT-block remat (the "
                              "chain DCN path has no giant backward temps, "
                              "so full-graph training may fit and run faster)")
+    parser.add_argument("--gt_size", type=int, default=None,
+                        help="train modes: override the training crop "
+                             "(defaults: stage1/stage3 256, stage2 320)")
     parser.add_argument("--height", type=int, default=420)
     parser.add_argument("--width", type=int, default=620)
     parser.add_argument("--dtype", default=None,
@@ -115,17 +118,26 @@ def main():
                              "variant — an architecture change that cannot "
                              "claim quality parity without retraining")
     parser.add_argument("--mode", default="infer",
-                        choices=["infer", "train_stage2", "train_stage3"],
+                        choices=["infer", "infer_stage2", "train_stage1",
+                                 "train_stage2", "train_stage3"],
                         help="infer = stage-3 inference (headline); "
+                             "infer_stage2 = stage-2 eval path (flow inverse "
+                             "-> VQ decode, test_stage2 protocol); "
+                             "train_stage1 = one GAN iteration of the sr/ "
+                             "VQ pretrain (g step + d step); "
                              "train_stage2 = flow-NLL training step; "
                              "train_stage3 = AFT training step (l1+percep+"
                              "msssim, frozen flow/VQ, XLA DCN)")
     args = parser.parse_args()
 
+    if args.mode == "train_stage1":
+        return bench_train_stage1(args)
     if args.mode == "train_stage2":
         return bench_train_stage2(args)
     if args.mode == "train_stage3":
         return bench_train_stage3(args)
+    if args.mode == "infer_stage2":
+        return bench_infer_stage2(args)
     if args.batch is None:
         args.batch = 8
     if args.dtype is None:
@@ -222,6 +234,145 @@ def main():
     print(json.dumps(out))
 
 
+def bench_infer_stage2(args):
+    """Stage-2 eval-path throughput: ConEncoder -> 28-step flow inverse from
+    color_map -> VQGAN decode to the image (the test_stage2.py protocol,
+    reference code/test_stage2.py:157-161) at the padded 620x420 shape."""
+    from glare_tpu.modules.llflow_vqgan2 import LLFlowVQGAN2
+    from glare_tpu.modules.vqmodel import VQModel
+
+    b = args.batch or 8
+    dtype = jnp.bfloat16 if (args.dtype or "bfloat16") == "bfloat16" else jnp.float32
+    netG = LLFlowVQGAN2(K=12, L=2, dtype=dtype)
+    vq = VQModel(dtype=dtype)
+    h, w = args.height, args.width
+
+    def init_all(rng):
+        rngs = jax.random.split(rng, 2)
+        lr0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        vq_vars = vq.init(rngs[0], lr0)
+        params = netG.init(rngs[1], lr0, reverse=True)["params"]
+        return params, vq_vars
+
+    params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
+    reverse = jax.jit(lambda p, x: netG.apply(
+        {"params": p}, x, method=LLFlowVQGAN2.reverse_flow))
+    decode = jax.jit(lambda v, x: vq.apply(v, x, method=vq.decode))
+
+    def forward(params, vq_vars, lq):
+        latent, _ = reverse(params, lq)
+        dec, _, _ = decode(vq_vars, latent)
+        return dec
+
+    lq = jnp.asarray(np.log(np.clip(
+        np.random.RandomState(0).rand(b, h, w, 3).astype(np.float32), 1e-3, None)))
+
+    def host_sync(o):
+        return np.asarray(o[0, 0, 0, 0])
+
+    for _ in range(args.warmup):
+        host_sync(forward(params, vq_vars, lq))
+
+    def run_iters():
+        out = None
+        for _ in range(args.iters):
+            out = forward(params, vq_vars, lq)
+        host_sync(out)
+
+    rates = _timed_rates(run_iters, b * args.iters, args.repeats)
+    stats = _rate_stats(rates)
+    img_per_s = stats["value"]
+    out = {"metric": "stage2_infer_600x400", **stats, "unit": "img/s",
+           "vs_baseline": round(img_per_s / 200.0, 4), "batch": b}
+    tflop = _audited_tflop("stage2_infer", "tflop_per_img", None)
+    if tflop:
+        peak = V5E_BF16_TFLOPS if dtype == jnp.bfloat16 else V5E_F32_TFLOPS
+        out["tflop_per_img"] = tflop
+        out["mfu"] = round(img_per_s * tflop / peak, 4)
+        out["ceiling_img_s_100mfu"] = round(peak / tflop, 1)
+    print(json.dumps(out))
+
+
+def bench_train_stage1(args):
+    """Stage-1 VQ-GAN pretrain throughput: one full GAN iteration (generator
+    step incl. codebook/pixel/GAN losses + spectral-norm discriminator step)
+    at the shipped conf's shapes (confs/stage1_HQ_pretrain.yml: gt_size 256,
+    batch 4, codebook [64, 1024, 512])."""
+    import shutil
+    import tempfile
+
+    from glare_tpu.sr.models.vq_model import VQDehazeModel
+
+    b = args.batch or 4
+    s = args.gt_size or 256
+    tmp_dir = tempfile.mkdtemp(prefix="glare_bench_s1_")
+    opt = {
+        "is_train": True,
+        "manual_seed": 0,
+        "network_g": {
+            "type": "VQWeightDehazeNet",
+            "gt_resolution": s,
+            "norm_type": "gn",
+            "act_type": "silu",
+            "use_quantize": True,
+            # scale (= latent size) tracks gt_size: 64 at the shipped 256
+            "codebook_params": [[s // 4, 1024, 512]],
+            "LQ_stage": False,
+            "use_weight": False,
+        },
+        "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 512},
+        "datasets": {"train": {"gt_size": s}},
+        "path": {"models": f"{tmp_dir}/models",
+                 "training_states": f"{tmp_dir}/states"},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4},
+            "optim_d": {"type": "Adam", "lr": 1e-4},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "perceptual_opt": {
+                "type": "PerceptualLoss",
+                "layer_weights": {"relu1_2": 1.0, "relu2_2": 1.0,
+                                  "relu3_3": 1.0},
+                "perceptual_weight": 1.0, "style_weight": 0,
+            },
+            "gan_opt": {"type": "GANLoss", "gan_type": "hinge",
+                        "loss_weight": 0.1},
+            "codebook_opt": {"loss_weight": 1.0},
+            "net_d_init_iters": 0,
+        },
+        "val": {"metrics": {"psnr": {"type": "psnr", "better": "higher"}}},
+    }
+    model = VQDehazeModel(opt)
+    rng = np.random.RandomState(0)
+    data = {"lq": jnp.asarray(rng.rand(b, s, s, 3), jnp.float32),
+            "gt": jnp.asarray(rng.rand(b, s, s, 3), jnp.float32)}
+
+    it = 0
+    for _ in range(args.warmup):
+        it += 1
+        logs = model.optimize_parameters(it, data)
+    _ = float(logs["l_g_total"])
+
+    def run_iters():
+        nonlocal it, logs
+        for _ in range(args.iters):
+            it += 1
+            logs = model.optimize_parameters(it, data)
+        _ = float(logs["l_g_total"])
+
+    rates = _timed_rates(run_iters, b * args.iters, args.repeats)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    stats = _rate_stats(rates)
+    img_per_s = stats["value"]
+    out = {"metric": "stage1_train_256", **stats, "unit": "img/s",
+           "vs_baseline": round(img_per_s / 200.0, 4), "batch": b}
+    tflop = _audited_tflop("stage1_train", "tflop_per_img", None)
+    if tflop:
+        out["tflop_per_img"] = tflop
+        out["mfu"] = round(img_per_s * tflop / V5E_F32_TFLOPS, 4)
+        out["ceiling_img_s_100mfu"] = round(V5E_F32_TFLOPS / tflop, 1)
+    print(json.dumps(out))
+
+
 def bench_train_stage2(args):
     """Stage-2 training throughput: VQGAN GT-encode + flow NLL + adam update
     at the shipped conf's GT_size=320 (train_stage2_LOL.yml)."""
@@ -232,7 +383,7 @@ def bench_train_stage2(args):
 
     netG = LLFlowVQGAN2(K=12, L=2)
     vq = VQModel()
-    b, s = args.batch or 4, 320
+    b, s = args.batch or 4, args.gt_size or 320
 
     def init_all(rng):
         rngs = jax.random.split(rng, 2)

@@ -287,14 +287,15 @@ class VQDehazeModel(BaseSRModel):
 
         if self.use_dis and current_iter > self.net_d_init_iters and not self.opt["train"].get("fixed_disc", False):
             # real = quantized latent of GT through the (HQ or current) model
-            if self.LQ_stage:
-                _, _, _, _, z_gt, _ = self.net_hq.apply(
-                    {"params": self.params_hq}, gt, method=self.net_hq.encode_and_decode
-                )
-            else:
-                _, _, _, _, z_gt, _ = self.net_g.apply(
-                    {"params": self.params_g}, gt, method=self.net_g.encode_and_decode
-                )
+            # (jit-cached: an eager flax apply dispatches op-by-op on this
+            # backend and dominated the d step)
+            zgt = self._jit.get("zgt")
+            if zgt is None:
+                net = self.net_hq if self.LQ_stage else self.net_g
+                zgt = jax.jit(lambda p, x: net.apply(
+                    {"params": p}, x, method=net.encode_and_decode)[4])
+                self._jit["zgt"] = zgt
+            z_gt = zgt(self.params_hq if self.LQ_stage else self.params_g, gt)
             d = self._d_step()
             self.params_d, self.spectral_d, self.opt_state_d, d_losses = d(
                 self.params_d, self.spectral_d, self.opt_state_d,

@@ -236,6 +236,98 @@ def build_stage3_train(batch=2, gt_size=256, dtype_name="float32", dcn_impl="xla
     return step, params, opt_state, lq, gt
 
 
+def stage2_infer_flops(height=420, width=620, batch=8, dtype_name="bfloat16"):
+    """Stage-2 eval path (flow inverse -> VQ decode, test_stage2 protocol)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glare_tpu.modules.llflow_vqgan2 import LLFlowVQGAN2
+    from glare_tpu.modules.vqmodel import VQModel
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    netG = LLFlowVQGAN2(K=12, L=2, dtype=dtype)
+    vq = VQModel(dtype=dtype)
+
+    def init_all(rng):
+        rngs = jax.random.split(rng, 2)
+        lr0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        return (netG.init(rngs[1], lr0, reverse=True)["params"],
+                vq.init(rngs[0], lr0))
+
+    params, vq_vars = jax.jit(init_all)(jax.random.PRNGKey(0))
+    lq = jnp.zeros((batch, height, width, 3), jnp.float32)
+
+    f_rev, _ = _flops(lambda p, x: netG.apply(
+        {"params": p}, x, method=LLFlowVQGAN2.reverse_flow), params, lq)
+    latent = jax.jit(lambda p, x: netG.apply(
+        {"params": p}, x, method=LLFlowVQGAN2.reverse_flow))(params, lq)[0]
+    f_dec, _ = _flops(lambda v, x: vq.apply(v, x, method=vq.decode),
+                      vq_vars, latent)
+    return (f_rev + f_dec) / batch
+
+
+def stage1_train_flops(batch=4, gt_size=256):
+    """One stage-1 GAN iteration (g step + z_gt forward + d step) at the
+    shipped conf shapes (confs/stage1_HQ_pretrain.yml)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glare_tpu.sr.models.vq_model import VQDehazeModel
+
+    tmp = tempfile.mkdtemp(prefix="glare_audit_s1_")
+    opt = {
+        "is_train": True, "manual_seed": 0,
+        "network_g": {"type": "VQWeightDehazeNet", "gt_resolution": gt_size,
+                      "norm_type": "gn", "act_type": "silu",
+                      "use_quantize": True,
+                      "codebook_params": [[gt_size // 4, 1024, 512]],
+                      "LQ_stage": False, "use_weight": False},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 512},
+        "datasets": {"train": {"gt_size": gt_size}},
+        "path": {"models": f"{tmp}/models", "training_states": f"{tmp}/states"},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-4},
+                  "optim_d": {"type": "Adam", "lr": 1e-4},
+                  "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+                  "perceptual_opt": {"type": "PerceptualLoss",
+                                     "layer_weights": {"relu1_2": 1.0,
+                                                       "relu2_2": 1.0,
+                                                       "relu3_3": 1.0},
+                                     "perceptual_weight": 1.0,
+                                     "style_weight": 0},
+                  "gan_opt": {"type": "GANLoss", "gan_type": "hinge",
+                              "loss_weight": 0.1},
+                  "codebook_opt": {"loss_weight": 1.0},
+                  "net_d_init_iters": 0},
+        "val": {"metrics": {"psnr": {"type": "psnr", "better": "higher"}}},
+    }
+    model = VQDehazeModel(opt)
+    rng = np.random.RandomState(0)
+    lq = jnp.asarray(rng.rand(batch, gt_size, gt_size, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(batch, gt_size, gt_size, 3), jnp.float32)
+
+    def flops_of(jitted, *a):
+        cost = jitted.lower(*a).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+
+    # lower the model's own jitted step fns directly
+    g = model._g_step()
+    f_g = flops_of(g, model.params_g, model.opt_state_g, model.params_hq,
+                   model.params_d, model.spectral_d, lq, gt, jnp.float32(1.0))
+    net = model.net_g
+    zgt = jax.jit(lambda p, x: net.apply(
+        {"params": p}, x, method=net.encode_and_decode)[4])
+    f_z = flops_of(zgt, model.params_g, gt)
+    z = zgt(model.params_g, gt)
+    f_d = flops_of(model._d_step(), model.params_d, model.spectral_d,
+                   model.opt_state_d, z, z)
+    return (f_g + f_z + f_d) / batch
+
+
 def stage3_train_flops(batch=2, gt_size=256):
     """Per-image FLOPs of the stage-3 AFT training step (XLA cost model —
     the whole step is XLA, no Pallas ops on the differentiable path)."""
@@ -310,6 +402,26 @@ def main():
             "tflop_per_img": round(f3_train / 1e12, 4),
             "v5e_peak_tflops": V5E_F32_TFLOPS,
             "ceiling_img_s_100mfu": round(t3_ceiling, 2),
+        }
+        f1_train = stage1_train_flops()
+        t1_ceiling = V5E_F32_TFLOPS * 1e12 / f1_train
+        print(f"stage-1 GAN iter @256^2 b4 (f32): {f1_train / 1e12:.3f} TFLOP/img "
+              f"-> {t1_ceiling:.1f} img/s at 100% MFU (f32 peak)")
+        payload["stage1_train"] = {
+            "gt_size": 256, "batch": 4, "dtype": "float32",
+            "tflop_per_img": round(f1_train / 1e12, 4),
+            "v5e_peak_tflops": V5E_F32_TFLOPS,
+            "ceiling_img_s_100mfu": round(t1_ceiling, 2),
+        }
+        f2i = stage2_infer_flops()
+        ceil2i = V5E_BF16_TFLOPS * 1e12 / f2i
+        print(f"stage-2 infer @620x420 (bf16): {f2i / 1e12:.3f} TFLOP/img "
+              f"-> {ceil2i:.1f} img/s at 100% MFU")
+        payload["stage2_infer"] = {
+            "height": 420, "width": 620, "batch": 8, "dtype": "bfloat16",
+            "tflop_per_img": round(f2i / 1e12, 4),
+            "v5e_peak_tflops": V5E_BF16_TFLOPS,
+            "ceiling_img_s_100mfu": round(ceil2i, 2),
         }
     if args.out:
         write_audit(args.out, payload)

@@ -13,13 +13,14 @@ reports the exact-parity path under the bare name. `--warp_mode flow` is an
 EXPERIMENTAL architecture change (not parity-eligible, see README) and is
 labeled as such.
 
-MFU context: tools/flops_audit.py audits stage-3 at 8.12 TFLOP/img via
-XLA's own cost model, i.e. 24.3 img/s at 100% MFU on one v5e (197 TFLOP/s
-bf16) — the >200 img/s BASELINE.md target exceeds the chip's physics by
-~8x. vs_baseline is still reported against 200; `mfu` reports the fraction
-of the hardware ceiling actually achieved. Re-run
-`python -m tools.flops_audit --train` to refresh FLOPS_AUDIT.json; bench
-reads it when present (falling back to the audited constants below).
+MFU context: the round-3 device trace measures stage-3 at 13.05 TFLOP/img
+(XLA model_flops, PROFILE_r03.json — the round-2 cost-model audit's 8.12
+undercounted the ten 16k-token attention blocks), i.e. 15.1 img/s at 100%
+MFU on one v5e (197 TFLOP/s bf16) — the >200 img/s BASELINE.md target
+exceeds the chip's physics by ~13x. vs_baseline is still reported against
+200; `mfu` reports the fraction of the hardware ceiling actually achieved.
+Re-run `python -m tools.flops_audit --train` to refresh FLOPS_AUDIT.json;
+bench reads it when present (falling back to the measured constants below).
 """
 
 from __future__ import annotations

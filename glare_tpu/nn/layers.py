@@ -191,7 +191,9 @@ class AttnBlock(nn.Module):
     `chunk_threshold` tokens the [n, n] attention matrix never fully
     materializes — at 600x400 protocol inputs the latent has ~16k tokens
     and a dense f32 matrix costs ~1 GB per block, which collapses batched
-    throughput. The default large-n path is a lax.map query-chunk loop.
+    throughput. The default large-n path is a fori_loop over query chunks
+    (dynamic_slice in / dynamic_update_slice out, both in the natural
+    [b, n, c] layout — no transposed copies).
 
     `use_flash=True` switches the large-n path to the stock Pallas
     flash-attention kernel (online softmax, tokens padded to the 512 query
@@ -228,7 +230,7 @@ class AttnBlock(nn.Module):
     softmax_bf16: Optional[bool] = dataclasses.field(
         default_factory=lambda: {"1": True, "0": False}.get(
             os.environ.get("GLARE_ATTN_MAT_BF16", ""), None))
-    # unroll the q-chunk loop when n_chunks <= this (0 = keep lax.map).
+    # unroll the q-chunk loop when n_chunks <= this (0 = keep the fori_loop).
     # Hypothesis was that unrolling lets XLA pipeline chunk k's softmax with
     # chunk k+1's matmuls (the trace shows the loop body at 147 vs 168
     # TFLOP/s outside loops); MEASURED NEGATIVE at 620x420 B=8:
@@ -302,7 +304,6 @@ class AttnBlock(nn.Module):
             pad = (-n) % qc
             qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
             n_chunks = qp.shape[1] // qc
-            qp = qp.reshape(b, n_chunks, qc, c).transpose(1, 0, 2, 3)
 
             mat_bf16 = (self.softmax_bf16 if self.softmax_bf16 is not None
                         else q.dtype == jnp.bfloat16)
@@ -330,11 +331,28 @@ class AttnBlock(nn.Module):
                     preferred_element_type=jnp.float32,
                 ).astype(x.dtype)
 
+            # Loop over chunk *indices* with dynamic_slice/dynamic_update_slice
+            # on the token axis: lax.map would need the chunk axis leading,
+            # which materializes a transposed copy of q going in and of the
+            # stacked output coming out (~0.7 GB/img of pure relayout traffic
+            # at 620x420 B=8 across the ten 16k-token blocks). The fori_loop
+            # keeps both buffers in their natural [b, n, c] layout; XLA
+            # aliases the carried output so the update is in place. Static
+            # trip count -> scan lowering, so reverse AD still works.
+            def body(i, acc):
+                q_blk = jax.lax.dynamic_slice(qp, (0, i * qc, 0), (b, qc, c))
+                return jax.lax.dynamic_update_slice(
+                    acc, one_chunk(q_blk), (0, i * qc, 0))
+
             if 0 < n_chunks <= self.unroll_chunks:
-                out = jnp.stack([one_chunk(qp[i]) for i in range(n_chunks)])
+                out = jnp.concatenate(
+                    [one_chunk(qp[:, i * qc:(i + 1) * qc]) for i in range(n_chunks)],
+                    axis=1)
             else:
-                out = jax.lax.map(one_chunk, qp)  # [n_chunks, b, qc, c]
-            out = out.transpose(1, 0, 2, 3).reshape(b, n_chunks * qc, c)[:, :n]
+                out = jax.lax.fori_loop(
+                    0, n_chunks, body,
+                    jnp.zeros((b, n_chunks * qc, c), x.dtype))
+            out = out[:, :n]
 
         out = out.reshape(b, h, w, c)
         out = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="proj_out")(out)

@@ -182,7 +182,7 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        out_ref[0, 0, 0, ri] = acc[...]
+        out_ref[0, ri] = acc[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "interpret",
@@ -229,6 +229,7 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     # is unchanged. No gathers remain in this design, so there is no
     # bitwidth-match constraint on the band. Other dtypes go through f32.
     band_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    out_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     xp = jnp.pad(
         x.astype(band_dtype),
         [(0, 0), (P0, bottom_pad), (P0, right_pad), (0, 0)],
@@ -294,11 +295,15 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
             pl.BlockSpec(memory_space=pltpu.ANY),   # xt stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, rpb, seg, O),
-                               lambda b, r, s: (b, r, s, 0, 0, 0),
+        # the output block lands directly at its [B, H_pad, W_out, O] home
+        # (block (1, rpb, seg, O) at row r*rpb, col s*seg) — no 6-D
+        # untranspose afterwards, just the H/W crop. bf16 networks write the
+        # output bf16 straight from the kernel (halves the write + the
+        # consumer's read; the surrounding graph is bf16 anyway).
+        out_specs=pl.BlockSpec((1, rpb, seg, O),
+                               lambda b, r, s: (b, r, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_rblk, n_seg, rpb, seg, O),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H_pad, Wp_out, O), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2 * band_alloc, C, 2 * seg), band_dtype),
             pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
@@ -313,10 +318,8 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         interpret=interpret,
     )(PY, PX, MK, Wk, xt)
 
-    # [B, n_rblk, n_seg, rpb, seg, O] -> [B, H, W, O]
-    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(
-        B, H_pad, n_seg * seg, O
-    )[:, :H, :W, :]
+    # crop the rpb/seg padding: [B, H_pad, Wp_out, O] -> [B, H, W, O]
+    out = out[:, :H, :W, :]
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)

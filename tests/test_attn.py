@@ -50,6 +50,23 @@ class TestAttnPaths:
         ragged = _run(x, chunk_threshold=16, q_chunk=100, unroll_chunks=8)
         np.testing.assert_allclose(ragged, dense, atol=1e-5, rtol=1e-5)
 
+    def test_chunked_grad_matches_dense(self, x):
+        # the fori_loop body uses dynamic_update_slice into a carried
+        # buffer; static trip count -> scan lowering, so reverse AD must
+        # produce the same gradients as the dense path (stage-1 GAN
+        # training differentiates through the VQGAN attention blocks).
+        params = AttnBlock(chunk_threshold=100000).init(jax.random.PRNGKey(0), x)
+
+        def loss(p, m):
+            return jnp.sum(m.apply(p, x) ** 2)
+
+        g_dense = jax.grad(loss)(params, AttnBlock(chunk_threshold=100000))
+        g_chunk = jax.grad(loss)(params, AttnBlock(chunk_threshold=16, q_chunk=64))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4),
+            g_dense, g_chunk)
+
 
 class TestSoftmaxBf16:
     """The chunked path's full-bf16 score storage (auto default on bf16

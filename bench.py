@@ -348,10 +348,12 @@ def bench_train_stage1(args):
             "gt": jnp.asarray(rng.rand(b, s, s, 3), jnp.float32)}
 
     it = 0
+    logs = None
     for _ in range(args.warmup):
         it += 1
         logs = model.optimize_parameters(it, data)
-    _ = float(logs["l_g_total"])
+    if logs is not None:
+        _ = float(logs["l_g_total"])
 
     def run_iters():
         nonlocal it, logs

@@ -131,8 +131,21 @@ def load_vgg16_params(rng_seed: int = 0, return_source: bool = False):
 
     cached = probe_torch_vgg16_cache()
     if cached is not None:
-        out = _vgg16_params_from_torch_ckpt(cached)
-        return (out, f"torch-cache:{cached}") if return_source else out
+        try:
+            out = _vgg16_params_from_torch_ckpt(cached)
+            return (out, f"torch-cache:{cached}") if return_source else out
+        except ImportError:
+            # a cached .pth without torch to deserialize it: fall through to
+            # the random path rather than crashing model init
+            import warnings
+
+            warnings.warn(
+                f"Found a cached torchvision vgg16 checkpoint at {cached} "
+                "but torch is not importable to deserialize it; convert it "
+                "offline with tools/torch2flax.py --kind vgg16 and set "
+                "GLARE_VGG16_NPZ.",
+                stacklevel=2,
+            )
 
     import warnings
 

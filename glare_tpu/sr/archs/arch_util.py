@@ -131,9 +131,9 @@ def flow_warp(x, flow, interp_mode="bilinear", padding_mode="zeros",
 
     x [B, H, W, C]; flow [B, H, W, 2] as (dx, dy) pixel displacements (the
     BasicSR convention: flow[..., 0] moves along W). Unbounded offsets;
-    ``zeros`` padding and align_corners=True match the reference defaults.
-    A utility (video-SR alignment), not a GLARE hot path — the bounded hot
-    ops are ops.dcn / ops.warp."""
+    both align_corners conventions match grid_sample (True is the reference
+    default). A utility (video-SR alignment), not a GLARE hot path — the
+    bounded hot ops are ops.dcn / ops.warp."""
     B, H, W, C = x.shape
     assert flow.shape[:3] == (B, H, W) and flow.shape[3] == 2
     gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
@@ -141,11 +141,13 @@ def flow_warp(x, flow, interp_mode="bilinear", padding_mode="zeros",
     px = gx[None] + flow[..., 0].astype(jnp.float32)  # [B, H, W]
     py = gy[None] + flow[..., 1].astype(jnp.float32)
     if not align_corners:
-        # grid_sample(align_corners=False) maps normalized -1..1 to pixel
-        # edges; converting the same normalized grid back shifts samples by
-        # half the scale ratio. With an identity-sized grid this reduces to
-        # the same pixel positions, so only the border handling differs.
-        pass
+        # The reference normalizes pixel coords with the align_corners=True
+        # convention (v = 2p/max(S-1,1) - 1) and then lets grid_sample
+        # denormalize them with the align_corners=False one
+        # (p' = ((v+1)*S - 1)/2), which nets out to a scale-and-shift of the
+        # sample positions: p' = p*S/max(S-1,1) - 0.5.
+        px = px * (W / max(W - 1, 1)) - 0.5
+        py = py * (H / max(H - 1, 1)) - 0.5
 
     if interp_mode == "nearest":
         ys = [jnp.round(py)]
@@ -176,10 +178,47 @@ def flow_warp(x, flow, interp_mode="bilinear", padding_mode="zeros",
     return out.reshape(B, H, W, C)
 
 
+def _interp_axis(x, out_size, axis, mode, align_corners):
+    """torch F.interpolate semantics along one spatial axis (separable)."""
+    in_size = x.shape[axis]
+    if mode == "nearest":
+        # torch's legacy 'nearest': src = floor(dst * in/out)
+        idx = jnp.floor(
+            jnp.arange(out_size, dtype=jnp.float32) * (in_size / out_size)
+        ).astype(jnp.int32)
+        return jnp.take(x, jnp.clip(idx, 0, in_size - 1), axis=axis)
+    if align_corners:
+        pos = jnp.arange(out_size, dtype=jnp.float32) * (
+            (in_size - 1) / max(out_size - 1, 1))
+    else:
+        # half-pixel centers, clamped at 0 like torch's
+        # upsample_bilinear2d(align_corners=False)
+        pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+            in_size / out_size) - 0.5
+        pos = jnp.maximum(pos, 0.0)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w1 = pos - i0.astype(jnp.float32)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = w1.reshape(shape)
+    return (jnp.take(x, i0, axis=axis) * (1.0 - w1)
+            + jnp.take(x, i1, axis=axis) * w1)
+
+
 def resize_flow(flow, size_type, sizes: Sequence, interp_mode="bilinear",
                 align_corners=False):
     """arch_util.py:150-187: resize a [B, H, W, 2] flow field and rescale
-    its (dx, dy) values by the resolution ratio."""
+    its (dx, dy) values by the resolution ratio.
+
+    interp_mode: 'bilinear' (align_corners honored, torch F.interpolate
+    semantics incl. the align_corners=False half-pixel clamp) or 'nearest'
+    (torch's floor convention; note the reference as shipped *errors* here,
+    since F.interpolate forbids passing align_corners with mode='nearest').
+    Other modes raise rather than silently degrading."""
+    if interp_mode not in ("bilinear", "nearest"):
+        raise ValueError(
+            f"interp_mode must be 'bilinear' or 'nearest', got {interp_mode!r}")
     B, H, W, _ = flow.shape
     if size_type == "ratio":
         out_h, out_w = int(H * sizes[0]), int(W * sizes[1])
@@ -192,5 +231,5 @@ def resize_flow(flow, size_type, sizes: Sequence, interp_mode="bilinear",
     scaled = flow.astype(jnp.float32) * jnp.asarray(
         [ratio_w, ratio_h], jnp.float32
     )
-    method = "bilinear" if interp_mode == "bilinear" else "nearest"
-    return jax.image.resize(scaled, (B, out_h, out_w, 2), method=method)
+    out = _interp_axis(scaled, out_h, 1, interp_mode, align_corners)
+    return _interp_axis(out, out_w, 2, interp_mode, align_corners)

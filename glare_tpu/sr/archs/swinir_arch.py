@@ -15,7 +15,6 @@ ops ride the swin.py blocks (batched-einsum window attention).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -23,45 +22,12 @@ from flax import linen as nn
 
 from ...nn.layers import Conv
 from ..registry import ARCH_REGISTRY
+from .arch_util import Upsample, pixel_shuffle
 from .swin import RSTB
 
 Dtype = Any
 
 _RGB_MEAN = (0.4488, 0.4371, 0.4040)
-
-
-def pixel_shuffle(x, r):
-    """NHWC pixel shuffle with torch's channel convention
-    (out[..., c] at subpixel (i, j) reads in-channel c*r*r + i*r + j)."""
-    b, h, w, crr = x.shape
-    c = crr // (r * r)
-    x = x.reshape(b, h, w, c, r, r)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return x.reshape(b, h * r, w * r, c)
-
-
-class _Upsample(nn.Module):
-    """Pixel-shuffle upsampler (reference: network_swinir.py:573-592)."""
-
-    scale: int
-    num_feat: int
-    dtype: Dtype = None
-
-    @nn.compact
-    def __call__(self, x):
-        scale = self.scale
-        if (scale & (scale - 1)) == 0:  # power of 2
-            for i in range(int(math.log2(scale))):
-                x = Conv(4 * self.num_feat, (3, 3), padding=1,
-                         dtype=self.dtype, name=f"conv_{i}")(x)
-                x = pixel_shuffle(x, 2)
-        elif scale == 3:
-            x = Conv(9 * self.num_feat, (3, 3), padding=1,
-                     dtype=self.dtype, name="conv_0")(x)
-            x = pixel_shuffle(x, 3)
-        else:
-            raise ValueError(f"scale {scale} is not supported")
-        return x
 
 
 @ARCH_REGISTRY.register()
@@ -150,8 +116,8 @@ class SwinIR(nn.Module):
             x = Conv(num_feat, (3, 3), padding=1, dtype=self.dtype,
                      name="conv_before_upsample")(x)
             x = nn.leaky_relu(x, 0.01)
-            x = _Upsample(self.upscale, num_feat, dtype=self.dtype,
-                          name="upsample")(x)
+            x = Upsample(self.upscale, num_feat, dtype=self.dtype,
+                         name="upsample")(x)
             x = Conv(self.in_chans, (3, 3), padding=1, dtype=self.dtype,
                      name="conv_last")(x)
         elif self.upsampler == "pixelshuffledirect":

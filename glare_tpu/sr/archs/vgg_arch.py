@@ -164,24 +164,35 @@ def load_vgg_params(vgg_type="vgg19", layer_name_list=(), rng_seed=0):
         torch_home, "hub", "checkpoints", f"{base}-*.pth"
     )))
     if hits:
-        import torch
-
-        sd = torch.load(hits[0], map_location="cpu", weights_only=True)
-        # plain (no-BN) torchvision vgg: the only features.* weights are the
-        # convs, in the same order as NAMES' conv entries
-        feat_keys = sorted(
-            {int(k.split(".")[1]) for k in sd if k.startswith("features") and k.endswith(".weight")}
-        )
-        params = {}
-        for n, fi in zip([m for m in names if m.startswith("conv")], feat_keys):
-            if n not in wanted:
-                continue
-            params[n] = {
-                "kernel": jnp.asarray(sd[f"features.{fi}.weight"].numpy().transpose(2, 3, 1, 0)),
-                "bias": jnp.asarray(sd[f"features.{fi}.bias"].numpy()),
-            }
-        if all(n in params for n in wanted):
-            return {"params": params}
+        try:
+            import torch
+        except ImportError:
+            # a cached .pth without torch to deserialize it: fall through to
+            # the random path rather than crashing network build
+            torch = None
+            warnings.warn(
+                f"Found a cached torchvision checkpoint at {hits[0]} but "
+                "torch is not importable to deserialize it; convert it "
+                "offline with tools/torch2flax.py and set GLARE_VGG_NPZ.",
+                stacklevel=2,
+            )
+        if torch is not None:
+            sd = torch.load(hits[0], map_location="cpu", weights_only=True)
+            # plain (no-BN) torchvision vgg: the only features.* weights are
+            # the convs, in the same order as NAMES' conv entries
+            feat_keys = sorted(
+                {int(k.split(".")[1]) for k in sd if k.startswith("features") and k.endswith(".weight")}
+            )
+            params = {}
+            for n, fi in zip([m for m in names if m.startswith("conv")], feat_keys):
+                if n not in wanted:
+                    continue
+                params[n] = {
+                    "kernel": jnp.asarray(sd[f"features.{fi}.weight"].numpy().transpose(2, 3, 1, 0)),
+                    "bias": jnp.asarray(sd[f"features.{fi}.bias"].numpy()),
+                }
+            if all(n in params for n in wanted):
+                return {"params": params}
 
     warnings.warn(
         "GLARE_VGG_NPZ not set or missing — VGGFeatureExtractor uses a "

@@ -59,9 +59,9 @@ def _as_stats(x):
     if isinstance(x, tuple) and len(x) == 2:
         return np.asarray(x[0], np.float64), np.asarray(x[1], np.float64)
     x = np.asarray(x)
-    if x.ndim == 2 and x.shape[0] > x.shape[1]:
-        return compute_stats(x)
     if x.ndim == 2:
+        # any bare 2-D array is a feature matrix [N, D]; precomputed stats
+        # must come in as a (mu, sigma) tuple (the stats-file workflow)
         return compute_stats(x)
     raise ValueError(f"expected features [N, D] or (mu, sigma), got {x.shape}")
 

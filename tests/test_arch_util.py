@@ -67,6 +67,54 @@ def test_flow_warp_torch_parity(mode):
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_flow_warp_align_corners_false_torch_parity(mode):
+    # grid_sample(align_corners=False) rescales every sample position by
+    # S/(S-1) and shifts half a pixel — a previously-untested branch
+    x = rng.standard_normal((2, 9, 11, 4)).astype(np.float32)
+    flow = (3.0 * rng.standard_normal((2, 9, 11, 2))).astype(np.float32)
+    ours = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow),
+                                interp_mode=mode, align_corners=False))
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    tf = torch.from_numpy(flow)
+    _, _, h, w = tx.shape
+    gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack((gx, gy), 2).float()[None] + tf
+    vx = 2.0 * grid[..., 0] / max(w - 1, 1) - 1.0
+    vy = 2.0 * grid[..., 1] / max(h - 1, 1) - 1.0
+    ref = F.grid_sample(tx, torch.stack((vx, vy), dim=3), mode=mode,
+                        padding_mode="zeros", align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    if mode == "nearest":
+        ok = np.isclose(ours, ref, atol=1e-5)
+        assert ok.mean() > 0.98
+    else:
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("out_hw", [(16, 12), (5, 3)])  # up and down
+def test_resize_flow_bilinear_torch_parity(align_corners, out_hw):
+    flow = rng.standard_normal((2, 8, 6, 2)).astype(np.float32)
+    ours = np.asarray(resize_flow(jnp.asarray(flow), "shape", out_hw,
+                                  align_corners=align_corners))
+    # reference arch_util.py:150-187: scale values by ratio, F.interpolate
+    tf = torch.from_numpy(flow).permute(0, 3, 1, 2).clone()
+    tf[:, 0] *= out_hw[1] / 6
+    tf[:, 1] *= out_hw[0] / 8
+    ref = F.interpolate(tf, size=out_hw, mode="bilinear",
+                        align_corners=align_corners)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_resize_flow_rejects_unknown_mode():
+    flow = jnp.zeros((1, 4, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="interp_mode"):
+        resize_flow(flow, "ratio", (2.0, 2.0), interp_mode="bicubic")
+
+
 def test_resize_flow_shape_and_scaling():
     flow = rng.standard_normal((1, 8, 6, 2)).astype(np.float32)
     out = np.asarray(resize_flow(jnp.asarray(flow), "ratio", (2.0, 2.0)))

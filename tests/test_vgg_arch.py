@@ -145,6 +145,22 @@ class TestTorchCacheProbe:
         params, source = load_vgg16_params(return_source=True)
         assert source.startswith("torch-cache:"), source
 
+        # a cached .pth on a machine WITHOUT torch must fall back to the
+        # random net (with a warning) instead of crashing model init
+        import glare_tpu.modules.losses as losses_mod
+
+        def _no_torch(path):
+            raise ImportError("No module named 'torch'")
+
+        monkeypatch.setattr(
+            losses_mod, "_vgg16_params_from_torch_ckpt", _no_torch)
+        with pytest.warns(UserWarning):
+            _, source2 = load_vgg16_params(return_source=True)
+        assert source2 == "random"
+        monkeypatch.undo()
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+        monkeypatch.delenv("GLARE_VGG16_NPZ", raising=False)
+
         # feature parity: torch forward of the same weights
         x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
         jtaps = VGG16Features().apply(params, jnp.asarray(x))

@@ -16,6 +16,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
+import os
 
 V5E_BF16_TFLOPS = 197.0
 V5E_F32_TFLOPS = 49.0
@@ -365,6 +367,29 @@ def main():
     for k, v in parts.items():
         print(f"  {k:24s} {v / 1e12:8.3f} TFLOP")
     print(f"  {'TOTAL':24s} {total / 1e12:8.3f} TFLOP/img")
+
+    # The cost model undercounts the ten 16k-token attention blocks (their
+    # matmuls sit inside the query-chunk loop); the device-trace measurement
+    # (tools/profile_stage3.py -> PROFILE_r03.json, XLA model_flops) is the
+    # honest stage-3 denominator. Prefer it at the protocol geometry so a
+    # refresh of FLOPS_AUDIT.json never silently reinflates the MFU/ceiling
+    # (the cost-model number stays in the payload for reference).
+    source = "xla-cost-model"
+    cost_model_total = total
+    if (args.height, args.width, args.dtype) == (420, 620, "bfloat16"):
+        prof_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PROFILE_r03.json")
+        try:
+            with open(prof_path) as f:
+                measured_tflop = float(json.load(f)["model_tflop_per_img"])
+            total = measured_tflop * 1e12
+            source = "device-trace model_flops (PROFILE_r03.json)"
+            print(f"  using measured {measured_tflop:.2f} TFLOP/img from the "
+                  f"device trace (cost model: {cost_model_total / 1e12:.2f} — "
+                  f"undercounts the attention loop)")
+        except (OSError, KeyError, ValueError):
+            pass
+
     ceiling = peak * 1e12 / total
     print(f"v5e {peak:.0f} TFLOP/s peak -> {ceiling:.1f} img/s at 100% MFU")
     print(f">200 img/s target needs {200 * total / 1e12 / peak * 100:.0f}% MFU "
@@ -377,6 +402,8 @@ def main():
             "height": args.height, "width": args.width, "dtype": args.dtype,
             "dcn_impl": args.dcn_impl,
             "tflop_per_img": round(total / 1e12, 4),
+            "tflop_source": source,
+            "cost_model_tflop_per_img": round(cost_model_total / 1e12, 4),
             "parts_tflop": {k: round(v / 1e12, 4) for k, v in parts.items()},
             "v5e_peak_tflops": peak,
             "ceiling_img_s_100mfu": round(ceiling, 2),

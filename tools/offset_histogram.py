@@ -49,9 +49,8 @@ def collect_offsets(netG, vq, params, vq_vars, lq):
 
     def walk(tree, path):
         if isinstance(tree, dict):
+            # flax sow stores intermediates as a tuple of tap values
             if "offsets" in tree and not isinstance(tree["offsets"], dict):
-                out["/".join(path)] = np.asarray(tree["offsets"][0])
-            elif "offsets" in tree and isinstance(tree["offsets"], tuple):
                 out["/".join(path)] = np.asarray(tree["offsets"][0])
             for k, v in tree.items():
                 if k != "offsets":

@@ -301,11 +301,6 @@ def convert_swinir(sd, depths=None):
         out[dst] = {"kernel": conv_w(sd[f"{src}.weight"]),
                     "bias": vec(sd[f"{src}.bias"])}
 
-    def ln(dst, src):
-        out_parent, leaf = dst
-        out.setdefault(out_parent, {})[leaf] = {
-            "scale": vec(sd[f"{src}.weight"]), "bias": vec(sd[f"{src}.bias"])}
-
     conv("conv_first", "conv_first")
     if "patch_embed.norm.weight" in sd:
         out["patch_norm"] = {"scale": vec(sd["patch_embed.norm.weight"]),
@@ -360,8 +355,10 @@ def convert_swinir(sd, depths=None):
         first = f"upsample.{ups[0]}"
         if f"{first}.weight" in sd and "conv_before_upsample.0.weight" in sd:
             out["upsample"] = {}
+            # arch_util.Upsample names its convs conv{n} (shared with the
+            # EDSR-style upsampler; one module, one naming)
             for n, idx in enumerate(ups):
-                out["upsample"][f"conv_{n}"] = {
+                out["upsample"][f"conv{n}"] = {
                     "kernel": conv_w(sd[f"upsample.{idx}.weight"]),
                     "bias": vec(sd[f"upsample.{idx}.bias"])}
         else:  # pixelshuffledirect: UpsampleOneStep conv

@@ -239,6 +239,17 @@ class AttnBlock(nn.Module):
     # default off (PERF_NOTES.md round-3 sweep).
     unroll_chunks: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("GLARE_ATTN_UNROLL", "0")))
+    # Bespoke fused online-softmax kernel (ops/attn_pallas.py): the [bq, bk]
+    # score tile lives only in VMEM, so the softmax's HBM round-trip
+    # (~8 ms/img at 620x420, PROFILE_r03.json) disappears entirely.
+    # Unlike the stock flash kernel (use_flash, measured -30% e2e) it takes
+    # the natural [b, n, c] layout with no head axis or 512-multiple
+    # segment-id padding. GLARE_ATTN_FUSED=1/0 forces on/off; default AUTO
+    # uses it on TPU for large-n bf16 inputs (inference path — backward
+    # would need a custom VJP, so training keeps the chunked path).
+    use_fused: Optional[bool] = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("GLARE_ATTN_FUSED", ""), None))
 
     @nn.compact
     def __call__(self, x):
@@ -254,13 +265,26 @@ class AttnBlock(nn.Module):
         v = v.reshape(b, n, c)
         scale = int(c) ** -0.5
 
-        flash_ok = (
-            self.use_flash
+        on_tpu = jax.devices()[0].platform == "tpu"
+        fused_ok = (
+            (self.use_fused if self.use_fused is not None
+             else q.dtype == jnp.bfloat16)
             and n > self.chunk_threshold
-            and jax.devices()[0].platform == "tpu"
+            and on_tpu
             and c % 128 == 0
         )
-        if flash_ok:
+        flash_ok = (
+            self.use_flash
+            and not fused_ok
+            and n > self.chunk_threshold
+            and on_tpu
+            and c % 128 == 0
+        )
+        if fused_ok:
+            from glare_tpu.ops.attn_pallas import flash_attention_nhc
+
+            out = flash_attention_nhc(q, k, v).astype(x.dtype)
+        elif flash_ok:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,

@@ -1,0 +1,131 @@
+"""Fused single-head attention (flash/online-softmax) Pallas TPU kernel.
+
+Target: the ten 16k-token AttnBlocks in the VQGAN encoder/decoder at the
+620x420 protocol resolution (reference encoder_decoder.py:140-192 computes
+a dense [n, n] torch.bmm + softmax). Our default large-n path is a query-
+chunk loop whose [qc, n] score blocks round-trip HBM; the profile
+(PROFILE_r03.json) shows that softmax traffic bandwidth-saturated at
+760 GB/s, costing ~8 ms/img on top of the matmuls. This kernel keeps the
+score block entirely in VMEM: one grid step computes QK^T for a
+[bq, bk] tile, updates the online-softmax statistics (m, l) and the f32
+output accumulator in scratch, and only the final [bq, c] result ever
+touches HBM.
+
+Layout: q/k/v arrive [B, N, C] (the natural reshape of the NHWC feature
+map — no transposed copies). N is zero-padded outside the kernel to the
+block multiples; padded KEY tokens are masked to -inf before the softmax
+update (padded QUERY rows compute garbage and are sliced away by the
+caller).
+
+Numerics: scores and softmax statistics are f32 in-kernel (no HBM
+materialization, so full precision is free — tighter than the chunked
+path's bf16 score storage); the probs are cast to v.dtype for the AV MXU
+pass, matching the chunked path's `attn.astype(v.dtype)` semantics.
+
+The stock `jax.experimental.pallas.ops.tpu.flash_attention` was measured
+a ~30% e2e regression (round-3 PERF_NOTES) — it wants a leading head axis
+(transposed copies in/out), 512-multiple segment-id masking, and
+multi-head block shapes that fit this single-head 16k x 512 problem
+poorly. This kernel exists because the shape is known and fixed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+            scale, n_true, bk, n_kblk):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                   # [bq, c]
+    k = k_ref[0]                                   # [bk, c]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                      # [bq, bk] f32
+
+    # mask padded key tokens (branchless: only the last k block can
+    # contain them, but the compare+select is VPU-free next to the matmul)
+    kidx = ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kidx < n_true, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]                          # [bq, 1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    corr = jnp.exp(m_prev - m_new)                 # [bq, 1]
+    p = jnp.exp(s - m_new)                         # [bq, bk] f32
+    l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+
+    v = v_ref[0]                                   # [bk, c]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [bq, c] f32
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(ik == n_kblk - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+def flash_attention_nhc(q, k, v, *, bq=512, bk=1024, interpret=False):
+    """Softmax(q k^T / sqrt(c)) v for [B, N, C] single-head inputs.
+
+    Scores/statistics f32 in VMEM; output dtype follows q. N is padded to
+    the block multiples internally and the result sliced back.
+    """
+    b, n, c = q.shape
+    scale = float(c) ** -0.5
+    nq_pad = -(-n // bq) * bq
+    nk_pad = -(-n // bk) * bk
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else q
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else k
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else v
+    n_kblk = nk_pad // bk
+
+    grid = (b, nq_pad // bq, n_kblk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, n_true=n, bk=bk,
+                          n_kblk=n_kblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),    # running max
+            pltpu.VMEM((bq, 128), jnp.float32),    # running sum
+            pltpu.VMEM((bq, c), jnp.float32),      # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nq_pad * nk_pad * c,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * nq_pad * nk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n] if nq_pad != n else out

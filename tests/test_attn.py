@@ -106,3 +106,61 @@ class TestSoftmaxBf16:
                       softmax_bf16=True).apply(params, xb), np.float64)
         rel = np.max(np.abs(on - ref)) / (np.max(np.abs(ref)) + 1e-12)
         assert rel < 2e-2, rel
+
+
+class TestFusedKernel:
+    """ops/attn_pallas.py: the bespoke fused online-softmax kernel must
+    match the dense reference (interpret mode on CPU). The kernel keeps
+    f32 scores in VMEM, so f32 agreement is tight — tighter than the
+    chunked bf16-score path."""
+
+    def _oracle(self, q, k, v):
+        c = q.shape[-1]
+        s = np.einsum("bqc,bkc->bqk", np.asarray(q, np.float64),
+                      np.asarray(k, np.float64)) * float(c) ** -0.5
+        p = np.exp(s - s.max(-1, keepdims=True))
+        return np.einsum("bqk,bkc->bqc", p / p.sum(-1, keepdims=True),
+                         np.asarray(v, np.float64))
+
+    def test_matches_oracle_f32(self):
+        from glare_tpu.ops.attn_pallas import flash_attention_nhc
+        b, n, c = 2, 700, 128  # ragged n: exercises q AND k padding+mask
+        q, k, v = [jax.random.normal(jax.random.PRNGKey(i), (b, n, c),
+                                     jnp.float32) for i in range(3)]
+        out = np.asarray(flash_attention_nhc(q, k, v, bq=256, bk=256,
+                                             interpret=True), np.float64)
+        ref = self._oracle(q, k, v)
+        assert np.max(np.abs(out - ref)) < 1e-5
+
+    def test_matches_oracle_bf16(self):
+        from glare_tpu.ops.attn_pallas import flash_attention_nhc
+        b, n, c = 1, 300, 128
+        q, k, v = [jax.random.normal(jax.random.PRNGKey(i), (b, n, c),
+                                     jnp.bfloat16) for i in range(3)]
+        out = np.asarray(
+            flash_attention_nhc(q, k, v, bq=128, bk=256, interpret=True)
+            .astype(np.float32), np.float64)
+        ref = self._oracle(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32))
+        rel = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
+        assert rel < 2e-2, rel
+
+    def test_block_size_invariance(self):
+        from glare_tpu.ops.attn_pallas import flash_attention_nhc
+        b, n, c = 1, 512, 128
+        q, k, v = [jax.random.normal(jax.random.PRNGKey(i), (b, n, c),
+                                     jnp.float32) for i in range(3)]
+        a = flash_attention_nhc(q, k, v, bq=512, bk=512, interpret=True)
+        bb = flash_attention_nhc(q, k, v, bq=128, bk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-6, rtol=1e-5)
+
+    def test_auto_default_off_cpu_and_f32(self, x):
+        # fused AUTO requires TPU + bf16 + large n: on CPU the chunked
+        # path must still be chosen (no pallas_call in the lowered graph).
+        m = AttnBlock(chunk_threshold=16, q_chunk=64)
+        assert m.use_fused is None
+        params = m.init(jax.random.PRNGKey(0), x)
+        dense = _run(x, chunk_threshold=100000)
+        np.testing.assert_allclose(np.asarray(m.apply(params, x)), dense,
+                                   atol=1e-5, rtol=1e-5)

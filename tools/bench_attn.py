@@ -49,12 +49,17 @@ def main():
     x = jnp.asarray(rng.randn(1, args.h, args.w, args.c), jnp.bfloat16)
 
     blk = AttnBlock(dtype=jnp.bfloat16, q_chunk=args.q_chunk,
-                    softmax_bf16=args.softmax_bf16)
+                    softmax_bf16=args.softmax_bf16, use_fused=False)
     p = blk.init(jax.random.PRNGKey(0), x)
     f = jax.jit(lambda p, x: blk.apply(p, x))
     _time(f, (p, x), args.iters,
           label=f"AttnBlock @{args.h * args.w} tokens c={args.c} "
                 f"qc={args.q_chunk}")
+
+    blk_fused = AttnBlock(dtype=jnp.bfloat16, use_fused=True)
+    ff = jax.jit(lambda p, x: blk_fused.apply(p, x))
+    _time(ff, (p, x), args.iters,
+          label=f"AttnBlock FUSED kernel @{args.h * args.w} tokens")
 
     z = jnp.asarray(rng.randn(1, args.h, args.w, 3), jnp.bfloat16)
     for attn_res, label in (((64,), "Decoder WITH 4 attn blocks"),

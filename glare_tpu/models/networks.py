@@ -49,8 +49,13 @@ def define_Flow(opt, step=0, dtype=None):
         # clamp radius for the clamped impls (pallas/chain); 2 matches the
         # learned-offset regime, 4 widens the safety margin (PERF_NOTES.md)
         dcn_r = int(opt_get(opt, ["network_G", "dcn_max_offset"], 2) or 2)
+        # 'hybrid' only: exact-tail buffer capacity as a pixel fraction
+        # (see ops/dcn.py:modulated_deform_conv_hybrid)
+        dcn_cap = float(
+            opt_get(opt, ["network_G", "dcn_hybrid_capacity"], 0.125) or 0.125)
         return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode,
                                   dcn_impl=dcn_impl, dcn_max_offset=dcn_r,
+                                  dcn_hybrid_capacity=dcn_cap,
                                   remat=bool(remat), **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")
 

@@ -38,8 +38,11 @@ class DCNv2Pack(nn.Module):
 
     impl: 'xla' (exact, unbounded offsets), 'pallas' (Pallas kernel with
     offsets clamped to +-2 px; ~2.5x faster at GLARE shapes, PERF_NOTES.md),
-    or 'chain' (clamped dense select-chain, gather-free and autodiff-dense —
-    the training-path formulation, see ops/dcn.py).
+    'chain' (clamped dense select-chain, gather-free and autodiff-dense —
+    the training-path formulation, see ops/dcn.py), or 'hybrid' (exact
+    semantics at near-clamped speed: fast clamped base path + compacted
+    exact gather for the measured out-of-band tail, see
+    ops/dcn.py:modulated_deform_conv_hybrid).
     """
 
     features: int
@@ -51,10 +54,14 @@ class DCNv2Pack(nn.Module):
     # passes 4096 (via remat) or the backward's lane-padded gather temps
     # exceed one v5e's HBM (see ops/dcn.py)
     pixels_per_chunk: int = 16384
-    # clamp radius for the 'pallas'/'chain' impls (ignored by exact 'xla').
-    # 2 covers GLARE's learned-offset regime; 4 widens the safety margin at
-    # (2R+1)^2-cell cost (both impls verified at R=4, PERF_NOTES.md)
+    # clamp radius for the 'pallas'/'chain'/'hybrid' impls (ignored by exact
+    # 'xla'). 2 covers GLARE's learned-offset regime; 4 widens the safety
+    # margin at (2R+1)^2-cell cost (both impls verified at R=4, PERF_NOTES.md)
     max_offset: int = 2
+    # 'hybrid' only: fraction of pixels the exact-tail buffer can hold
+    # (exactness guaranteed while the out-of-band pixel fraction stays below
+    # it; overflow pixels keep the clamped value)
+    hybrid_capacity: float = 0.125
 
     @nn.compact
     def __call__(self, x, feat):
@@ -98,6 +105,14 @@ class DCNv2Pack(nn.Module):
             return modulated_deform_conv_chain(
                 x, offset, mask, weight, bias, max_offset=self.max_offset
             ).astype(x.dtype)
+        if self.impl == "hybrid":
+            from ..ops.dcn import modulated_deform_conv_hybrid
+
+            base = "pallas" if jax.default_backend() == "tpu" else "chain"
+            return modulated_deform_conv_hybrid(
+                x, offset, mask, weight, bias, max_offset=self.max_offset,
+                capacity_frac=self.hybrid_capacity, base=base,
+            ).astype(x.dtype)
         return modulated_deform_conv(
             x, offset, mask, weight, bias, padding=k // 2,
             pixels_per_chunk=self.pixels_per_chunk,
@@ -120,6 +135,7 @@ class WarpBlock(nn.Module):
     dcn_impl: str = "xla"
     dcn_pixels_per_chunk: int = 16384
     dcn_max_offset: int = 2
+    dcn_hybrid_capacity: float = 0.125
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -142,6 +158,7 @@ class WarpBlock(nn.Module):
                          impl=self.dcn_impl,
                          pixels_per_chunk=self.dcn_pixels_per_chunk,
                          max_offset=self.dcn_max_offset,
+                         hybrid_capacity=self.dcn_hybrid_capacity,
                          name="dcn")(x_vq, side)
 
 
@@ -181,6 +198,7 @@ class MultiScaleDecoder2(nn.Module):
     warp_mode: str = "dcn"
     dcn_impl: str = "xla"
     dcn_max_offset: int = 2
+    dcn_hybrid_capacity: float = 0.125
     # per-block rematerialization for training memory (see
     # vqllflow_deformable.VQLLFLOWDeformable.remat)
     remat: bool = False
@@ -225,6 +243,7 @@ class MultiScaleDecoder2(nn.Module):
                     dtype=self.dtype, warp_mode=self.warp_mode,
                     dcn_impl=self.dcn_impl,
                     dcn_max_offset=self.dcn_max_offset,
+                    dcn_hybrid_capacity=self.dcn_hybrid_capacity,
                     # training (remat on) needs small DCN chunks for HBM
                     dcn_pixels_per_chunk=4096 if self.remat else 16384,
                     name=f"warp_{1 - i_level}",

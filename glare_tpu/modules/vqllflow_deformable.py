@@ -40,6 +40,7 @@ class VQLLFLOWDeformable(nn.Module):
     warp_mode: str = "dcn"
     dcn_impl: str = "xla"
     dcn_max_offset: int = 2
+    dcn_hybrid_capacity: float = 0.125
     # rematerialize the AFT decoder blocks during training: the stage-3
     # train step at the shipped conf (256^2, b=2) otherwise exceeds one
     # v5e's 16 GB HBM (the DCN backward's padding-expanded im2col temps) —
@@ -58,6 +59,7 @@ class VQLLFLOWDeformable(nn.Module):
         self.deformable_decoder = MultiScaleDecoder2(
             ch=128, dtype=self.dtype, warp_mode=self.warp_mode,
             dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
+            dcn_hybrid_capacity=self.dcn_hybrid_capacity,
             remat=self.remat,
         )
 

@@ -210,6 +210,128 @@ class TestChainOp:
         assert np.abs(g).max() == 0.0
 
 
+class TestHybridOp:
+    """modulated_deform_conv_hybrid: clamped base path + compacted exact
+    gather for out-of-band pixels. The key property is EXACT equality with
+    the unbounded gather op even for offsets far beyond the clamp radius,
+    as long as the out-of-band pixel fraction fits the capacity."""
+
+    def _inputs(self, seed=0, off_scale=1.2, B=2, H=6, W=7):
+        return make_inputs(seed=seed, B=B, H=H, W=W, C=8, O=5, G=4,
+                           off_scale=off_scale)
+
+    def test_exact_with_large_offsets(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_hybrid
+
+        # off_scale 3.0 pushes a large fraction of taps beyond R=2
+        x, offset, mask, weight, bias = self._inputs(off_scale=3.0)
+        got = modulated_deform_conv_hybrid(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2,
+            capacity_frac=1.0)
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_exact_with_sparse_tail_and_small_capacity(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_hybrid
+
+        # in-band offsets everywhere except a handful of injected outliers:
+        # the realistic regime the op is designed for
+        x, offset, mask, weight, bias = self._inputs(off_scale=1.0, B=2,
+                                                     H=10, W=12)
+        offset = np.clip(offset, -1.9, 1.9)
+        rng = np.random.RandomState(7)
+        for _ in range(6):
+            b, h, w = rng.randint(2), rng.randint(10), rng.randint(12)
+            offset[b, h, w, rng.randint(4), rng.randint(9)] = (
+                rng.uniform(3.0, 9.0, 2) * rng.choice([-1.0, 1.0], 2))
+        got = modulated_deform_conv_hybrid(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2,
+            capacity_frac=0.6)  # 6 outlier pixels << 0.6 * 240
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_all_in_band_matches_chain(self):
+        from glare_tpu.ops.dcn import (
+            modulated_deform_conv_chain, modulated_deform_conv_hybrid)
+
+        x, offset, mask, weight, bias = self._inputs(off_scale=1.0)
+        offset = np.clip(offset, -1.9, 1.9)
+        got = modulated_deform_conv_hybrid(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2)
+        want = modulated_deform_conv_chain(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_overflow_degrades_to_clamp(self):
+        from glare_tpu.ops.dcn import (
+            modulated_deform_conv_chain, modulated_deform_conv_hybrid)
+
+        # every pixel out-of-band but capacity holds only the first 128
+        # (min capacity): overflow pixels must keep the clamped value —
+        # graceful degradation, never zeros or garbage
+        x, offset, mask, weight, bias = self._inputs(off_scale=20.0, B=2,
+                                                     H=12, W=14)
+        offset = np.sign(offset) * np.maximum(np.abs(offset), 5.0)
+        got = np.asarray(modulated_deform_conv_hybrid(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2,
+            capacity_frac=0.001))
+        exact = np.asarray(modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias)))
+        clamped = np.asarray(modulated_deform_conv_chain(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2))
+        flat_g = got.reshape(-1, got.shape[-1])
+        flat_e = exact.reshape(-1, got.shape[-1])
+        flat_c = clamped.reshape(-1, got.shape[-1])
+        # first 128 pixels (row-major cumsum order) are exact
+        np.testing.assert_allclose(flat_g[:128], flat_e[:128],
+                                   rtol=1e-4, atol=1e-4)
+        # the rest fall back to the clamped value
+        np.testing.assert_allclose(flat_g[128:], flat_c[128:],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_matches_naive_oracle(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_hybrid
+
+        x, offset, mask, weight, bias = make_inputs(off_scale=4.0)
+        got = modulated_deform_conv_hybrid(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2,
+            capacity_frac=1.0)
+        want = modulated_deform_conv_naive(x, offset, mask, weight, bias)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    def test_chunked_tail(self):
+        from glare_tpu.ops.dcn import modulated_deform_conv_hybrid
+
+        # pixels_per_chunk smaller than the compacted buffer exercises the
+        # lax.map chunking of the exact tail
+        x, offset, mask, weight, bias = self._inputs(off_scale=5.0, B=2,
+                                                     H=12, W=14)
+        got = modulated_deform_conv_hybrid(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), max_offset=2,
+            capacity_frac=1.0, pixels_per_chunk=64)
+        want = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestCudaGolden:
     """glare_tpu op vs the torch-layout CUDA-indexing golden (golden_dcn.py).
 

@@ -107,3 +107,67 @@ def modulated_deform_conv_golden(
     if bias is not None:
         out = out + np.asarray(bias, np.float64)[None, :, None, None]
     return out
+
+
+def modulated_deform_conv_golden_fast(
+    x, offset, mask, weight, bias=None, stride=1, padding=1, dilation=1,
+    deformable_groups=1,
+):
+    """Vectorized-numpy golden DCNv2 — same layouts and CUDA boundary
+    semantics as :func:`modulated_deform_conv_golden` (which it is asserted
+    against at small shapes in tests/test_dcn.py), fast enough for
+    protocol-geometry (620x420, C>=128) parity runs where the per-pixel
+    literal transcription would take hours.
+
+    Independent of glare_tpu's jax op: numpy, torch layouts (NCHW /
+    interleaved conv_offset packing), float64 accumulation.
+    """
+    x = np.asarray(x, np.float64)
+    offset = np.asarray(offset, np.float64)
+    mask = np.asarray(mask, np.float64)
+    weight = np.asarray(weight, np.float64)
+    B, C, H, W = x.shape
+    O, Cw, kh, kw = weight.shape
+    assert Cw == C
+    K = kh * kw
+    G = deformable_groups
+    Ho = (H + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    Wo = (W + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    Cg = C // G
+
+    off_g = offset.reshape(B, G, K, 2, Ho, Wo)  # [..., 0]=dy, [..., 1]=dx
+    mask_g = mask.reshape(B, G, K, Ho, Wo)
+
+    base_h = (np.arange(Ho) * stride - padding)[:, None]  # [Ho, 1]
+    base_w = (np.arange(Wo) * stride - padding)[None, :]  # [1, Wo]
+
+    out = np.zeros((B, O, Ho, Wo))
+    w_kg = weight.reshape(O, G, Cg, kh, kw)
+    for b in range(B):
+        for g in range(G):
+            xg = x[b, g * Cg:(g + 1) * Cg]  # [Cg, H, W]
+            for i in range(kh):
+                for j in range(kw):
+                    k = i * kw + j
+                    py = base_h + i * dilation + off_g[b, g, k, 0]  # [Ho,Wo]
+                    px = base_w + j * dilation + off_g[b, g, k, 1]
+                    in_rng = (py > -1) & (py < H) & (px > -1) & (px < W)
+                    y0 = np.floor(py).astype(np.int64)
+                    x0 = np.floor(px).astype(np.int64)
+                    ly, lx = py - y0, px - x0
+                    acc = np.zeros((Cg, Ho, Wo))
+                    for dy, wy in ((0, 1.0 - ly), (1, ly)):
+                        for dx, wx in ((0, 1.0 - lx), (1, lx)):
+                            yy, xx = y0 + dy, x0 + dx
+                            ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+                            yc = np.clip(yy, 0, H - 1)
+                            xc = np.clip(xx, 0, W - 1)
+                            v = xg[:, yc, xc]  # [Cg, Ho, Wo]
+                            acc += v * (wy * wx * ok)
+                    samp = acc * (mask_g[b, g, k] * in_rng)  # [Cg, Ho, Wo]
+                    out[b] += np.einsum(
+                        "oc,cp->op", w_kg[:, g, :, i, j],
+                        samp.reshape(Cg, Ho * Wo)).reshape(O, Ho, Wo)
+    if bias is not None:
+        out = out + np.asarray(bias, np.float64)[None, :, None, None]
+    return out

@@ -400,6 +400,22 @@ class TestCudaGolden:
         naive = modulated_deform_conv_naive(*ours_args)
         np.testing.assert_allclose(naive.transpose(0, 3, 1, 2), golden, rtol=1e-6, atol=1e-6)
 
+    def test_fast_golden_agrees_with_literal_golden(self):
+        """The vectorized golden (used at protocol geometry where the
+        per-pixel literal transcription is infeasible) must match it."""
+        from golden_dcn import (modulated_deform_conv_golden,
+                                modulated_deform_conv_golden_fast)
+
+        for seed, off_scale in ((3, 1.5), (4, 40.0)):
+            torch_args, _ = self._torch_and_ours(seed=seed,
+                                                 off_scale=off_scale)
+            x, off, m, w, b, G = torch_args
+            slow = modulated_deform_conv_golden(x, off, m, w, b,
+                                                deformable_groups=G)
+            fast = modulated_deform_conv_golden_fast(x, off, m, w, b,
+                                                     deformable_groups=G)
+            np.testing.assert_allclose(fast, slow, rtol=1e-9, atol=1e-9)
+
 
 class TestDeformConvV1:
     def test_matches_modulated_with_unit_mask(self):

@@ -12,6 +12,9 @@ import yaml
 
 import cv2
 
+# full train->ckpt->infer pipelines: minutes of CPU compile per class
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_lol(tmp_path_factory):

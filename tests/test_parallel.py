@@ -147,6 +147,7 @@ class TestFSDP:
             )
 
 
+@pytest.mark.slow
 class TestStage3DPStep:
     def test_sharded_stage3_step_matches_single_device(self):
         """The full stage-3 train step (frozen flow -> VQ decode -> AFT with
@@ -178,6 +179,7 @@ class TestStage3DPStep:
             )
 
 
+@pytest.mark.slow
 class TestGANDPStep:
     def test_sharded_gan_steps_match_single_device(self, tmp_path):
         """Stage-1 GAN g/d steps (spectral-norm discriminator) with the
@@ -203,6 +205,7 @@ class TestGANDPStep:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+@pytest.mark.slow
 class TestServingDPForward:
     def test_sharded_inference_matches_single_device(self):
         """The stage-3 serving forward (latent_half -> VQ decode -> aft_half)
@@ -256,6 +259,7 @@ class TestEnlargedSampler:
         assert not np.array_equal(s.indices(), a)
 
 
+@pytest.mark.slow
 class TestDryrunEntry:
     def test_dryrun_multichip_smoke(self):
         import __graft_entry__ as g

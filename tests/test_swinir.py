@@ -97,6 +97,7 @@ def _run_parity(upsampler, upscale, resi_connection="1conv", seed=0):
         np.asarray(jy), ty.numpy().transpose(0, 2, 3, 1), atol=2e-4)
 
 
+@pytest.mark.slow
 class TestSwinIRParity:
     def test_pixelshuffledirect_x2(self):
         _run_parity("pixelshuffledirect", 2, seed=1)

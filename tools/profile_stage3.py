@@ -76,18 +76,22 @@ def aggregate_trace(log_dir, n_img):
         agg[key][1] += float(a.get("model_flops") or 0)
         agg[key][2] += float(a.get("bytes_accessed") or 0)
     # per-op self time (op names collapse fused-instruction suffixes) for
-    # attributing inside coarse categories like "data formatting"
-    ops = defaultdict(lambda: [0.0, "?"])
+    # attributing inside coarse categories like "data formatting".
+    # Keyed by (base, category): events sharing a base name can carry
+    # different hlo_category values, and merging them under the last-seen
+    # label made top_ops disagree with the breakdown (ADVICE r03).
+    ops = defaultdict(float)
     for e in evs:
         n = e["name"]
         if n.startswith("while") or n.startswith("jit_"):
             continue
         a = e["args"]
         base = n.split(".")[0]
-        ops[base][0] += float(a["device_duration_ps"]) / 1e9
-        ops[base][1] = a.get("hlo_category", "?")
-    top_ops = [{"op": k, "category": v[1], "ms_per_img": round(v[0] / n_img, 2)}
-               for k, v in sorted(ops.items(), key=lambda kv: -kv[1][0])[:25]]
+        ops[(base, a.get("hlo_category", "?"))] += (
+            float(a["device_duration_ps"]) / 1e9)
+    top_ops = [{"op": k[0], "category": k[1],
+                "ms_per_img": round(v / n_img, 2)}
+               for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:25]]
     rows = []
     for (w, c), (t, f, b) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
         rows.append({"where": w, "category": c,
@@ -106,8 +110,10 @@ def main():
     ap.add_argument("--height", type=int, default=420)
     ap.add_argument("--width", type=int, default=620)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--dcn_impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--dcn_impl", default="pallas",
+                    choices=["pallas", "xla", "chain", "hybrid"])
     ap.add_argument("--log_dir", default="/tmp/glare_stage3_trace")
+    ap.add_argument("--out", default="PROFILE_r04.json")
     args = ap.parse_args()
 
     netG, vq, params, vq_vars, lq = build_stage3(
@@ -149,15 +155,17 @@ def main():
             print(f"  {o['ms_per_img']:7.2f}  {o['category'][:18]:18s} {o['op'][:70]}")
     import json as _json
 
-    out_path = "PROFILE_r03.json"
-    _json.dump({"config": f"stage3 inference {args.width}x{args.height} "
-                          f"{args.dtype} B={args.batch} {args.dcn_impl}-DCN, "
-                          f"{args.iters} traced iters",
-                "leaf_ms_per_img": round(total_t / n_img, 1),
-                "model_tflop_per_img": round(tflop_img, 2),
-                "implied_ceiling_img_s_100mfu": round(197 / tflop_img, 1),
-                "breakdown": rows, "top_ops": top_ops},
-               open(out_path, "w"), indent=1)
+    out_path = args.out
+    with open(out_path, "w") as f:
+        _json.dump({"config": f"stage3 inference {args.width}x{args.height} "
+                              f"{args.dtype} B={args.batch} {args.dcn_impl}-DCN, "
+                              f"{args.iters} traced iters",
+                    "leaf_ms_per_img": round(total_t / n_img, 1),
+                    "model_tflop_per_img": round(tflop_img, 2),
+                    "implied_ceiling_img_s_100mfu": round(197 / tflop_img, 1),
+                    "breakdown": rows, "top_ops": top_ops},
+                   f, indent=1)
+        f.write("\n")
     print(f"wrote {out_path}")
 
 

@@ -36,7 +36,8 @@ import numpy as np
 
 # measured XLA model_flops from the round-3 device trace (PROFILE_r03.json);
 # FLOPS_AUDIT.json takes precedence when present
-STAGE3_TFLOP_PER_IMG = {"pallas": 13.05, "xla": 13.05, "chain": 13.05}
+STAGE3_TFLOP_PER_IMG = {"pallas": 13.05, "xla": 13.05, "chain": 13.05,
+                        "hybrid": 13.05, "hybrid_gather": 13.05}
 STAGE2_TRAIN_TFLOP_PER_IMG = None  # filled from FLOPS_AUDIT.json when audited
 V5E_BF16_TFLOPS = 197.0
 V5E_F32_TFLOPS = 49.0
@@ -102,12 +103,26 @@ def main():
                          "train modes float32 (train_stage3 accepts "
                          "bfloat16 = mixed-precision, AMP analogue)")
     parser.add_argument("--dcn_impl", default="pallas",
-                        choices=["xla", "pallas", "chain"],
+                        choices=["xla", "pallas", "chain", "hybrid",
+                                 "hybrid_gather"],
                         help="pallas: Pallas DCN kernel (offsets clamped to "
                              "+-2 px — metric name carries the caveat); "
                              "xla: exact unbounded offsets (parity path); "
                              "chain: clamped dense select-chain (the "
-                             "differentiable training formulation)")
+                             "differentiable training formulation); "
+                             "hybrid: exact semantics at near-clamped speed "
+                             "(clamped base + compacted exact gather for the "
+                             "out-of-band tail — the recommended path for "
+                             "reference-trained weights)")
+    parser.add_argument("--hybrid_capacity", type=float, default=0.125,
+                        help="hybrid: fraction of row blocks (cascade) / "
+                             "pixels (hybrid_gather) the exact-tail buffer "
+                             "holds — exactness guaranteed while the "
+                             "out-of-band fraction stays below it")
+    parser.add_argument("--hybrid_tail", type=int, default=8,
+                        help="hybrid (cascade) only: tail clamp radius — "
+                             "exact for |offset| <= this (measured ckpts: "
+                             "p999 6.5 px, OFFSET_HIST)")
     parser.add_argument("--dcn_max_offset", type=int, default=2,
                         help="clamp radius R for the clamped DCN impls "
                              "(pallas/chain); the trained-checkpoint offset "
@@ -150,7 +165,9 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     netG = VQLLFLOWDeformable(K=12, L=2, dtype=dtype, warp_mode=args.warp_mode,
                               dcn_impl=args.dcn_impl,
-                              dcn_max_offset=args.dcn_max_offset)
+                              dcn_max_offset=args.dcn_max_offset,
+                              dcn_hybrid_capacity=args.hybrid_capacity,
+                              dcn_hybrid_tail_offset=args.hybrid_tail)
     vq = VQModel(dtype=dtype)
 
     b, h, w = args.batch, args.height, args.width
@@ -217,6 +234,12 @@ def main():
         metric = f"stage3_infer_600x400_dcn_clamp{args.dcn_max_offset}px"
     elif args.dcn_impl == "chain":
         metric = f"stage3_infer_600x400_dcn_chain_clamp{args.dcn_max_offset}px"
+    elif args.dcn_impl == "hybrid":
+        # exact up to the tail radius (cascaded band kernel) — the
+        # R/R_tail/capacity knobs are recorded in the JSON
+        metric = "stage3_infer_600x400_dcn_hybrid"
+    elif args.dcn_impl == "hybrid_gather":
+        metric = "stage3_infer_600x400_dcn_hybrid_gather"
     else:
         metric = "stage3_infer_600x400"
     tflop = _audited_tflop("stage3", "tflop_per_img",
@@ -232,6 +255,11 @@ def main():
         "ceiling_img_s_100mfu": round(peak / tflop, 1),
         "batch": args.batch,
     }
+    if args.dcn_impl in ("hybrid", "hybrid_gather"):
+        out["dcn_base_clamp_px"] = args.dcn_max_offset
+        out["hybrid_capacity"] = args.hybrid_capacity
+        if args.dcn_impl == "hybrid":
+            out["hybrid_tail_px"] = args.hybrid_tail
     print(json.dumps(out))
 
 

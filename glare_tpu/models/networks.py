@@ -49,13 +49,17 @@ def define_Flow(opt, step=0, dtype=None):
         # clamp radius for the clamped impls (pallas/chain); 2 matches the
         # learned-offset regime, 4 widens the safety margin (PERF_NOTES.md)
         dcn_r = int(opt_get(opt, ["network_G", "dcn_max_offset"], 2) or 2)
-        # 'hybrid' only: exact-tail buffer capacity as a pixel fraction
-        # (see ops/dcn.py:modulated_deform_conv_hybrid)
+        # 'hybrid': exact-tail capacity (row-block fraction for the cascade,
+        # pixel fraction for 'hybrid_gather') and the cascade's tail radius
+        # (exact for |offset| <= R_tail; see ops/dcn_pallas.py cascade)
         dcn_cap = float(
             opt_get(opt, ["network_G", "dcn_hybrid_capacity"], 0.125) or 0.125)
+        dcn_tail = int(
+            opt_get(opt, ["network_G", "dcn_hybrid_tail_offset"], 8) or 8)
         return VQLLFLOWDeformable(dtype=dtype, warp_mode=warp_mode,
                                   dcn_impl=dcn_impl, dcn_max_offset=dcn_r,
                                   dcn_hybrid_capacity=dcn_cap,
+                                  dcn_hybrid_tail_offset=dcn_tail,
                                   remat=bool(remat), **kw)
     raise NotImplementedError(f"Generator model [{which_model}] not recognized")
 

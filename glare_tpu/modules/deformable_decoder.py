@@ -58,10 +58,16 @@ class DCNv2Pack(nn.Module):
     # 'xla'). 2 covers GLARE's learned-offset regime; 4 widens the safety
     # margin at (2R+1)^2-cell cost (both impls verified at R=4, PERF_NOTES.md)
     max_offset: int = 2
-    # 'hybrid' only: fraction of pixels the exact-tail buffer can hold
-    # (exactness guaranteed while the out-of-band pixel fraction stays below
-    # it; overflow pixels keep the clamped value)
+    # 'hybrid'/'hybrid_gather' only: fraction of row blocks (hybrid) or
+    # pixels (hybrid_gather) the exact-tail buffer can hold (exactness
+    # guaranteed while the out-of-band fraction stays below it; overflow
+    # keeps the clamped value)
     hybrid_capacity: float = 0.125
+    # 'hybrid' only: the tail pass's clamp radius — exact for offsets up to
+    # this. Default 8 covers p999+ of measured checkpoints
+    # (OFFSET_HIST_r03.json: p999 6.5, max 11.1); auto_configure_dcn raises
+    # it from the loaded checkpoint's audit. 'hybrid_gather' is unbounded.
+    hybrid_tail_offset: int = 8
 
     @nn.compact
     def __call__(self, x, feat):
@@ -106,6 +112,31 @@ class DCNv2Pack(nn.Module):
                 x, offset, mask, weight, bias, max_offset=self.max_offset
             ).astype(x.dtype)
         if self.impl == "hybrid":
+            # cascaded band kernel: clamp-R base + row-block-compacted
+            # R_tail pass. Exact for |offset| <= hybrid_tail_offset — the
+            # fast default for reference-trained weights. On non-TPU
+            # backends fall back to the gather hybrid (the Mosaic kernel
+            # needs hardware; interpret mode is test-only).
+            if jax.default_backend() == "tpu":
+                from ..ops.dcn_pallas import modulated_deform_conv_pallas_cascade
+
+                return modulated_deform_conv_pallas_cascade(
+                    x, offset, mask, weight, bias,
+                    max_offset=self.max_offset,
+                    tail_offset=max(self.hybrid_tail_offset,
+                                    self.max_offset + 1),
+                    capacity_frac=self.hybrid_capacity,
+                ).astype(x.dtype)
+            from ..ops.dcn import modulated_deform_conv_hybrid
+
+            return modulated_deform_conv_hybrid(
+                x, offset, mask, weight, bias, max_offset=self.max_offset,
+                capacity_frac=self.hybrid_capacity, base="chain",
+            ).astype(x.dtype)
+        if self.impl == "hybrid_gather":
+            # compacted exact-GATHER tail: unbounded offsets (full CUDA
+            # semantics) at gather-bound speed (~3.5 img/s e2e at the
+            # protocol shape vs ~8+ for 'hybrid'; see ops/dcn.py)
             from ..ops.dcn import modulated_deform_conv_hybrid
 
             base = "pallas" if jax.default_backend() == "tpu" else "chain"
@@ -136,6 +167,7 @@ class WarpBlock(nn.Module):
     dcn_pixels_per_chunk: int = 16384
     dcn_max_offset: int = 2
     dcn_hybrid_capacity: float = 0.125
+    dcn_hybrid_tail_offset: int = 8
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -159,6 +191,7 @@ class WarpBlock(nn.Module):
                          pixels_per_chunk=self.dcn_pixels_per_chunk,
                          max_offset=self.dcn_max_offset,
                          hybrid_capacity=self.dcn_hybrid_capacity,
+                         hybrid_tail_offset=self.dcn_hybrid_tail_offset,
                          name="dcn")(x_vq, side)
 
 
@@ -199,6 +232,7 @@ class MultiScaleDecoder2(nn.Module):
     dcn_impl: str = "xla"
     dcn_max_offset: int = 2
     dcn_hybrid_capacity: float = 0.125
+    dcn_hybrid_tail_offset: int = 8
     # per-block rematerialization for training memory (see
     # vqllflow_deformable.VQLLFLOWDeformable.remat)
     remat: bool = False
@@ -244,6 +278,7 @@ class MultiScaleDecoder2(nn.Module):
                     dcn_impl=self.dcn_impl,
                     dcn_max_offset=self.dcn_max_offset,
                     dcn_hybrid_capacity=self.dcn_hybrid_capacity,
+                    dcn_hybrid_tail_offset=self.dcn_hybrid_tail_offset,
                     # training (remat on) needs small DCN chunks for HBM
                     dcn_pixels_per_chunk=4096 if self.remat else 16384,
                     name=f"warp_{1 - i_level}",

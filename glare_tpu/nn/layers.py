@@ -255,36 +255,56 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         h_ = GroupNorm32(name="norm")(x)
-        q = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="q")(h_)
-        k = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="k")(h_)
-        v = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="v")(h_)
-
         n = h * w
-        q = q.reshape(b, n, c)
-        k = k.reshape(b, n, c)
-        v = v.reshape(b, n, c)
         scale = int(c) ** -0.5
 
         on_tpu = jax.devices()[0].platform == "tpu"
+        qkv_bf16 = (self.dtype == jnp.bfloat16 if self.dtype is not None
+                    else x.dtype == jnp.bfloat16)
         fused_ok = (
-            (self.use_fused if self.use_fused is not None
-             else q.dtype == jnp.bfloat16)
-            and n > self.chunk_threshold
-            and on_tpu
-            and c % 128 == 0
-        )
-        flash_ok = (
-            self.use_flash
-            and not fused_ok
+            (self.use_fused if self.use_fused is not None else qkv_bf16)
             and n > self.chunk_threshold
             and on_tpu
             and c % 128 == 0
         )
         if fused_ok:
+            # pad the normalized feature map ONCE to the kernel's block
+            # multiple and run the 1x1 projections on the padded tokens —
+            # instead of padding q, k, AND v afterwards (3x the pad
+            # traffic; ~0.8 GB/batch per 16k-token block at 620x420 B=8).
+            # Padded rows project to the bias vector (finite), which the
+            # kernel masks by n_true; padded q rows are sliced away below.
             from glare_tpu.ops.attn_pallas import flash_attention_nhc
 
-            out = flash_attention_nhc(q, k, v).astype(x.dtype)
-        elif flash_ok:
+            pad = (-n) % 2048  # lcm of the kernel's bq/bk choices
+            t = h_.reshape(b, n, 1, c)
+            if pad:
+                t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            q = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="q")(t)[:, :, 0]
+            k = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="k")(t)[:, :, 0]
+            v = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="v")(t)[:, :, 0]
+            out = flash_attention_nhc(q, k, v, n_true=n).astype(x.dtype)
+            out = out[:, :n] if pad else out
+            out = out.reshape(b, h, w, c)
+            out = Conv(c, (1, 1), padding=0, dtype=self.dtype,
+                       name="proj_out")(out)
+            return x + out
+
+        q = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="q")(h_)
+        k = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="k")(h_)
+        v = Conv(c, (1, 1), padding=0, dtype=self.dtype, name="v")(h_)
+
+        q = q.reshape(b, n, c)
+        k = k.reshape(b, n, c)
+        v = v.reshape(b, n, c)
+
+        flash_ok = (
+            self.use_flash
+            and n > self.chunk_threshold
+            and on_tpu
+            and c % 128 == 0
+        )
+        if flash_ok:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,

@@ -53,10 +53,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     q = q_ref[0]                                   # [bq, c]
     k = k_ref[0]                                   # [bk, c]
+    # softmax in the base-2 domain: scale carries log2(e), p/corr use the
+    # hardware exp2 unit (exp lowers to exp2 + an extra multiply per
+    # ELEMENT of the [bq, bk] tile; folding it into the scalar scale makes
+    # the whole softmax pure exp2). Statistics m/l are base-2 too —
+    # mathematically identical softmax.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                      # [bq, bk] f32
+    ) * scale                                      # [bq, bk] f32, log2-scaled
 
     # mask padded key tokens (branchless: only the last k block can
     # contain them, but the compare+select is VPU-free next to the matmul)
@@ -67,8 +72,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    corr = jnp.exp(m_prev - m_new)                 # [bq, 1]
-    p = jnp.exp(s - m_new)                         # [bq, bk] f32
+    corr = jnp.exp2(m_prev - m_new)                # [bq, 1]
+    p = jnp.exp2(s - m_new)                        # [bq, bk] f32
     l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
 
     v = v_ref[0]                                   # [bk, c]
@@ -85,15 +90,26 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_attention_nhc(q, k, v, *, bq=512, bk=1024, interpret=False):
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "n_true",
+                                              "interpret"))
+def flash_attention_nhc(q, k, v, *, bq=512, bk=1024, n_true=None,
+                        interpret=False):
     """Softmax(q k^T / sqrt(c)) v for [B, N, C] single-head inputs.
 
     Scores/statistics f32 in VMEM; output dtype follows q. N is padded to
-    the block multiples internally and the result sliced back.
+    the block multiples internally and the result sliced back. Callers that
+    already carry block-multiple-padded tokens (e.g. AttnBlock pads ONCE
+    before its qkv projections instead of 3x after) pass the real token
+    count as `n_true`: keys/values beyond it are masked in-kernel, padded
+    query rows compute garbage and stay in the (padded) output for the
+    caller to slice.
     """
     b, n, c = q.shape
-    scale = float(c) ** -0.5
+    if n_true is None:
+        n_true = n
+    # 1/sqrt(c) softmax scale x log2(e): the kernel's softmax runs in the
+    # base-2 domain (see _kernel)
+    scale = float(c) ** -0.5 * 1.4426950408889634
     nq_pad = -(-n // bq) * bq
     nk_pad = -(-n // bk) * bk
     qp = jnp.pad(q, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else q
@@ -103,7 +119,7 @@ def flash_attention_nhc(q, k, v, *, bq=512, bk=1024, interpret=False):
 
     grid = (b, nq_pad // bq, n_kblk)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, n_true=n, bk=bk,
+        functools.partial(_kernel, scale=scale, n_true=n_true, bk=bk,
                           n_kblk=n_kblk),
         grid=grid,
         in_specs=[

@@ -47,6 +47,13 @@ def _bilinear_gather(x_groups, py, px, H, W):
     x_groups: [B, H*W, G, Cg]
     py, px:   [B, P, G, K] fractional sample positions (output-pixel major)
     returns:  [B, P, K, G, Cg]
+
+    Formulated as ONE flat row-major ``jnp.take`` over a [G*B*H*W, Cg]
+    view: XLA lowers an integer-array take on axis 0 to a gather with
+    slice_sizes [1, Cg] — a true row gather. The previous
+    ``take_along_axis`` with the index broadcast over Cg lowered to a
+    per-ELEMENT gather (Cg x the index traffic) and measured ~40x slower
+    at DCN shapes on this backend (tools/bench_gather.py).
     """
     B, HW, G, Cg = x_groups.shape
     P, K = py.shape[1], py.shape[3]
@@ -61,22 +68,28 @@ def _bilinear_gather(x_groups, py, px, H, W):
     # CUDA-kernel semantics: positions outside (-1, H) x (-1, W) -> zero
     in_range = (py > -1.0) & (py < H) & (px > -1.0) & (px < W)
 
+    # group-major rows so (g, b, lin) flattens to one gather axis
+    xf = x_groups.transpose(2, 0, 1, 3).reshape(G * B * HW, Cg)
+    gb_base = (
+        jnp.arange(G, dtype=jnp.int32)[None, None, :, None] * (B * HW)
+        + jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * HW
+    )  # [B, 1, G, 1]
+
     def corner(yi, xi, wgt):
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W) & in_range
         lin = jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W + jnp.clip(
             xi, 0, W - 1
         ).astype(jnp.int32)
-        # [B, P, G, K] -> [B, P*K, G] index, gathered over token axis
-        idx = lin.transpose(0, 1, 3, 2).reshape(B, P * K, G)
-        vals = jnp.take_along_axis(x_groups, idx[..., None], axis=1)  # [B,P*K,G,Cg]
-        w = (wgt * valid.astype(wgt.dtype)).transpose(0, 1, 3, 2).reshape(B, P * K, G)
-        return vals * w[..., None].astype(vals.dtype)
+        vals = jnp.take(xf, (gb_base + lin).reshape(-1), axis=0)  # [BPGK, Cg]
+        w = (wgt * valid.astype(wgt.dtype)).reshape(-1)
+        return vals * w[:, None].astype(vals.dtype)
 
     out = corner(y0, x0, wy0 * wx0)
     out = out + corner(y0, x0 + 1, wy0 * wx1)
     out = out + corner(y0 + 1, x0, wy1 * wx0)
     out = out + corner(y0 + 1, x0 + 1, wy1 * wx1)
-    return out.reshape(B, P, K, G, Cg)
+    # [B, P, G, K, Cg] -> [B, P, K, G, Cg]
+    return out.reshape(B, P, G, K, Cg).transpose(0, 1, 3, 2, 4)
 
 
 @functools.partial(
@@ -241,7 +254,7 @@ def _bilinear_gather_rows(xf, base_row, py, px, H, W):
     returns:  [S, K, G, Cg]
     """
     S, G, K = py.shape
-    Cg = xf.shape[-1]
+    N, _, Cg = xf.shape
 
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
@@ -251,24 +264,26 @@ def _bilinear_gather_rows(xf, base_row, py, px, H, W):
     wx0 = 1.0 - wx1
     in_range = (py > -1.0) & (py < H) & (px > -1.0) & (px < W)
 
-    xfe = xf[None]  # [1, N, G, Cg]
+    # one flat row-major take (see _bilinear_gather for the rationale)
+    xf2 = jnp.moveaxis(xf, 1, 0).reshape(G * N, Cg)
+    g_base = jnp.arange(G, dtype=jnp.int32)[None, :, None] * N  # [1, G, 1]
 
     def corner(yi, xi, wgt):
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W) & in_range
         lin = jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W + jnp.clip(
             xi, 0, W - 1
         ).astype(jnp.int32)
-        idx = base_row[:, None, None] + lin  # [S, G, K]
-        idx = idx.transpose(0, 2, 1).reshape(1, S * K, G)
-        vals = jnp.take_along_axis(xfe, idx[..., None], axis=1)  # [1,S*K,G,Cg]
-        w = (wgt * valid.astype(wgt.dtype)).transpose(0, 2, 1).reshape(1, S * K, G)
-        return vals * w[..., None].astype(vals.dtype)
+        idx = g_base + base_row[:, None, None] + lin  # [S, G, K]
+        vals = jnp.take(xf2, idx.reshape(-1), axis=0)  # [S*G*K, Cg]
+        w = (wgt * valid.astype(wgt.dtype)).reshape(-1)
+        return vals * w[:, None].astype(vals.dtype)
 
     out = corner(y0, x0, wy0 * wx0)
     out = out + corner(y0, x0 + 1, wy0 * wx1)
     out = out + corner(y0 + 1, x0, wy1 * wx0)
     out = out + corner(y0 + 1, x0 + 1, wy1 * wx1)
-    return out.reshape(S, K, G, Cg)
+    # [S, G, K, Cg] -> [S, K, G, Cg]
+    return out.reshape(S, G, K, Cg).transpose(0, 2, 1, 3)
 
 
 @functools.partial(

@@ -52,13 +52,14 @@ _KY = [-1, -1, -1, 0, 0, 0, 1, 1, 1]
 _KX = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
 
 
-def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
-            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc, seg, rpb,
-            n_rblk, n_seg, n_b, dot_bf16):
-    b = pl.program_id(0)
-    rblk = pl.program_id(1)
-    s = pl.program_id(2)
-
+def _kernel_core(b, rblk, s, step, total, nxt_bundle,
+                 py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp,
+                 acc, shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc,
+                 seg, rpb, n_seg, dot_bf16):
+    """Shared body for the full-grid and selected-blocks entries: computes
+    the DCN output for `rpb` output rows x one `seg` column segment of
+    image `b`, row block `rblk`. `nxt_bundle` = (b, rblk, s, valid) of the
+    NEXT grid step for the band prefetch."""
     C = G * Cg
     GK = G * K
     nsh = 2 * R + 3
@@ -72,8 +73,6 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
     # DMA start must be 8-aligned: start at the aligned row below the
     # block's first output row and carry the residue r_off (uniform across
     # the block's rows).
-    total = n_b * n_rblk * n_seg
-    step = (b * n_rblk + rblk) * n_seg + s
     slot = jax.lax.rem(step, 2)
     r = rblk * rpb
     r0 = (r // 8) * 8
@@ -93,12 +92,9 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
         band_dma(0, b, rblk, s).start()
 
     # prefetch the next step's band into the other slot
-    nxt = step + 1
-    s_n = jax.lax.rem(nxt, n_seg)
-    rblk_n = jax.lax.rem(nxt // n_seg, n_rblk)
-    b_n = nxt // (n_seg * n_rblk)
+    b_n, rblk_n, s_n, nxt_valid = nxt_bundle
     for cur in (0, 1):
-        @pl.when(jnp.logical_and(slot == cur, nxt < total))
+        @pl.when(jnp.logical_and(slot == cur, nxt_valid))
         def _():
             band_dma(1 - cur, b_n, rblk_n, s_n).start()
 
@@ -185,36 +181,86 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
         out_ref[0, ri] = acc[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "interpret",
-                                             "rows_per_step"))
-def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
-                                 max_offset=2, interpret=False,
-                                 rows_per_step=16):
-    """DCNv2 with clamped offsets, Pallas kernel. Layouts as ops.dcn:
-    x [B,H,W,C], offset [B,H,W,G,K,2], mask [B,H,W,G,K], weight HWIO.
-    3x3, stride 1, pad 1 only."""
+def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
+            shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc, seg, rpb,
+            n_rblk, n_seg, n_b, dot_bf16):
+    """Full-grid entry: every (b, rblk, s) block is computed."""
+    b = pl.program_id(0)
+    rblk = pl.program_id(1)
+    s = pl.program_id(2)
+    total = n_b * n_rblk * n_seg
+    step = (b * n_rblk + rblk) * n_seg + s
+    nxt = step + 1
+    nxt_bundle = (
+        nxt // (n_seg * n_rblk),
+        jax.lax.rem(nxt // n_seg, n_rblk),
+        jax.lax.rem(nxt, n_seg),
+        nxt < total,
+    )
+    _kernel_core(b, rblk, s, step, total, nxt_bundle,
+                 py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp,
+                 acc, shifts_all, w2_all, sem, R=R, G=G, K=K, Cg=Cg, O=O,
+                 band_alloc=band_alloc, seg=seg, rpb=rpb, n_seg=n_seg,
+                 dot_bf16=dot_bf16)
+
+
+def _kernel_selected(ids_ref, py_ref, px_ref, m_ref, w_ref, xt_ref, base_ref,
+                     out_ref, band, samp, acc, shifts_all, w2_all, sem, *,
+                     R, G, K, Cg, O, band_alloc, seg, rpb, n_rblk, n_seg,
+                     n_sel, dot_bf16):
+    """Selected-blocks entry (the hybrid tail): grid is (n_sel, n_seg) and
+    ids_ref (scalar-prefetched) maps each selected slot to its flat
+    (b * n_rblk + rblk) home. Unfilled slots carry the sacrificial block id
+    (the padded last row-block of image 0, cropped by the caller); the
+    output buffer is ALIASED to the base pass's, so unselected blocks keep
+    their base values.
+
+    `base_ref` is the aliased input ref (unused in-kernel; the alias makes
+    the out buffer start as the base output)."""
+    del base_ref
+    sel = pl.program_id(0)
+    s = pl.program_id(1)
+    flat = ids_ref[sel]
+    b = flat // n_rblk
+    rblk = jax.lax.rem(flat, n_rblk)
+    total = n_sel * n_seg
+    step = sel * n_seg + s
+    nxt = step + 1
+    sel_n = jnp.minimum(nxt // n_seg, n_sel - 1)
+    flat_n = ids_ref[sel_n]
+    nxt_bundle = (
+        flat_n // n_rblk,
+        jax.lax.rem(flat_n, n_rblk),
+        jax.lax.rem(nxt, n_seg),
+        nxt < total,
+    )
+    _kernel_core(b, rblk, s, step, total, nxt_bundle,
+                 py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp,
+                 acc, shifts_all, w2_all, sem, R=R, G=G, K=K, Cg=Cg, O=O,
+                 band_alloc=band_alloc, seg=seg, rpb=rpb, n_seg=n_seg,
+                 dot_bf16=dot_bf16)
+
+
+def _prep(x, offset, mask, weight, R, rpb, extra_block=False):
+    """Shared host-side prep: pad+transpose the input band source, build
+    band-local sample positions, arrange them into kernel blocks.
+
+    extra_block appends one sacrificial row block per image (zero
+    positions/masks) — the selected-blocks entry parks unfilled capacity
+    slots on image 0's sacrificial block, which the caller crops away.
+    """
     B, H, W, C = x.shape
-    kh, kw, wc, O = weight.shape
-    assert (kh, kw) == (3, 3) and wc == C
+    O = weight.shape[3]
     G, K = offset.shape[3], offset.shape[4]
-    assert K == 9 and C % G == 0
     Cg = C // G
-    R = int(max_offset)
     P0 = R + 2
-    rpb = int(rows_per_step)
-    if R >= 6:
-        # wide radii grow both the band and the (2R+1)^2 select-chain's
-        # scratch; rows_per_step=16 blows the 100 MB scoped-VMEM limit at
-        # R=8 (measured: 102.55M). rpb=8 compiles and runs (488.9 ms/op
-        # isolated at R=8 — the 289-cell chain dominates; see PERF_NOTES).
-        rpb = min(rpb, 8)
     # union of sample rows for a block: [1, 2R+3+rpb-1], plus the residue
     # r_off <= 7 from 8-aligning the DMA start
     band_alloc = -(-(2 * R + 3 + rpb - 1 + 7 + 1) // 8) * 8
     seg = 128
     n_seg = -(-W // seg)
     Wp_out = n_seg * seg
-    H_pad = -(-H // rpb) * rpb
+    H_pad = -(-H // rpb) * rpb + (rpb if extra_block else 0)
     n_rblk = H_pad // rpb
 
     # pad + transpose once in XLA: [B, Hp, C, Wp]
@@ -239,7 +285,7 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     # band-local sample positions per (g, k): local = t + clip(d, -R, R) + P0
     ky = jnp.asarray(np.array(_KY), jnp.float32)
     kx = jnp.asarray(np.array(_KX), jnp.float32)
-    off = jnp.clip(offset.astype(jnp.float32), -max_offset, max_offset)
+    off = jnp.clip(offset.astype(jnp.float32), -R, R)
     # [B, H, W, G, K] -> row-local float positions (row hat evaluated
     # against dr in [1, 2R+3])
     pyl = ky[None, None, None, None, :] + off[..., 0] + P0
@@ -271,25 +317,74 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         weight.astype(jnp.float32).reshape(9, G, Cg, O), (1, 0, 2, 3)
     ).reshape(G * K * Cg, O)
 
+    dims = dict(B=B, H=H, W=W, C=C, O=O, G=G, K=K, Cg=Cg,
+                band_alloc=band_alloc, seg=seg, n_seg=n_seg, Wp_out=Wp_out,
+                H_pad=H_pad, n_rblk=n_rblk, band_dtype=band_dtype,
+                out_dtype=out_dtype)
+    return PY, PX, MK, Wk, xt, dims
+
+
+def _scratch_shapes(dims, R, rpb):
+    C, G, K, Cg, O = (dims[k] for k in ("C", "G", "K", "Cg", "O"))
+    seg, band_alloc, band_dtype = dims["seg"], dims["band_alloc"], dims["band_dtype"]
+    return [
+        pltpu.VMEM((2 * band_alloc, C, 2 * seg), band_dtype),
+        pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
+        pltpu.VMEM((seg, O), jnp.float32),
+        pltpu.VMEM(((2 * R + 3 + rpb) * (2 * R + 3), C, seg), jnp.float32),
+        pltpu.VMEM(((2 * R + 4) * (2 * R + 3), G * K, seg), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _clamp_rpb(R, rows_per_step):
+    rpb = int(rows_per_step)
+    if R >= 6:
+        # wide radii grow both the band and the (2R+1)^2 select-chain's
+        # scratch; rows_per_step=16 blows the 100 MB scoped-VMEM limit at
+        # R=8 (measured: 102.55M). rpb=8 compiles and runs (488.9 ms/op
+        # isolated at R=8 — the 289-cell chain dominates; see PERF_NOTES).
+        rpb = min(rpb, 8)
+    return rpb
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "interpret",
+                                             "rows_per_step"))
+def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
+                                 max_offset=2, interpret=False,
+                                 rows_per_step=16):
+    """DCNv2 with clamped offsets, Pallas kernel. Layouts as ops.dcn:
+    x [B,H,W,C], offset [B,H,W,G,K,2], mask [B,H,W,G,K], weight HWIO.
+    3x3, stride 1, pad 1 only."""
+    B, H, W, C = x.shape
+    kh, kw, wc, O = weight.shape
+    assert (kh, kw) == (3, 3) and wc == C
+    G, K = offset.shape[3], offset.shape[4]
+    assert K == 9 and C % G == 0
+    R = int(max_offset)
+    rpb = _clamp_rpb(R, rows_per_step)
+    PY, PX, MK, Wk, xt, d = _prep(x, offset, mask, weight, R, rpb)
+    n_rblk, n_seg, Cg = d["n_rblk"], d["n_seg"], d["Cg"]
+
     grid = (B, n_rblk, n_seg)
     out = pl.pallas_call(
         functools.partial(
             _kernel, R=R, G=G, K=K, Cg=Cg, O=O,
-            band_alloc=band_alloc, seg=seg, rpb=rpb,
+            band_alloc=d["band_alloc"], seg=d["seg"], rpb=rpb,
             n_rblk=n_rblk, n_seg=n_seg, n_b=B,
-            dot_bf16=(band_dtype == jnp.bfloat16),
+            dot_bf16=(d["band_dtype"] == jnp.bfloat16),
         ),
         grid=grid,
         in_specs=[
             # 2-D blocks: reading rows of >2-D block refs is dramatically
             # slower in Mosaic (PERF_NOTES.md)
-            pl.BlockSpec((rpb * 48, seg),
+            pl.BlockSpec((rpb * 48, d["seg"]),
                          lambda b, r, s: ((b * n_rblk + r) * n_seg + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rpb * 48, seg),
+            pl.BlockSpec((rpb * 48, d["seg"]),
                          lambda b, r, s: ((b * n_rblk + r) * n_seg + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rpb * 48, seg),
+            pl.BlockSpec((rpb * 48, d["seg"]),
                          lambda b, r, s: ((b * n_rblk + r) * n_seg + s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
@@ -300,18 +395,12 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
         # untranspose afterwards, just the H/W crop. bf16 networks write the
         # output bf16 straight from the kernel (halves the write + the
         # consumer's read; the surrounding graph is bf16 anyway).
-        out_specs=pl.BlockSpec((1, rpb, seg, O),
+        out_specs=pl.BlockSpec((1, rpb, d["seg"], O),
                                lambda b, r, s: (b, r, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H_pad, Wp_out, O), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2 * band_alloc, C, 2 * seg), band_dtype),
-            pltpu.VMEM((G * 9 * Cg, seg), jnp.float32),
-            pltpu.VMEM((seg, O), jnp.float32),
-            pltpu.VMEM(((2 * R + 3 + rpb) * (2 * R + 3), C, seg), jnp.float32),
-            pltpu.VMEM(((2 * R + 4) * (2 * R + 3), G * K, seg), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, d["H_pad"], d["Wp_out"], O),
+                                       d["out_dtype"]),
+        scratch_shapes=_scratch_shapes(d, R, rpb),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -319,6 +408,163 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
     )(PY, PX, MK, Wk, xt)
 
     # crop the rpb/seg padding: [B, H_pad, Wp_out, O] -> [B, H, W, O]
+    out = out[:, :H, :W, :]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_offset", "tail_offset", "capacity_frac", "interpret",
+    "rows_per_step"))
+def modulated_deform_conv_pallas_cascade(
+    x, offset, mask, weight, bias=None, max_offset=2, tail_offset=8,
+    capacity_frac=0.125, interpret=False, rows_per_step=16,
+):
+    """Two-level cascaded DCNv2: fast clamp-R base pass over the whole
+    image + a row-block-compacted WIDE-radius (R_tail) pass that fully
+    recomputes only the row blocks containing out-of-band taps.
+
+    Exact DCNv2 (CUDA semantics, deform_conv_cuda_kernel.cu:261-330)
+    whenever max |offset| <= tail_offset AND the out-of-band row-block
+    fraction <= capacity_frac (measured checkpoints: |offset| p999 = 6.5,
+    max = 11.1 — OFFSET_HIST_r03.json; auto_configure_dcn raises
+    tail_offset from the loaded checkpoint's audit). Overflow blocks and
+    taps beyond R_tail degrade to the clamped value.
+
+    Unlike ops.dcn.modulated_deform_conv_hybrid (compacted XLA GATHER tail
+    — exact unbounded but gather-bound at ~0.7 GB/s on this backend), the
+    tail here is the same select-chain band kernel at a wider radius:
+    cost = capacity_frac x one R_tail full pass (~7 ms/img at the 620x420
+    protocol, vs ~190 ms/img for the gather tail)."""
+    B, H, W, C = x.shape
+    kh, kw, wc, O = weight.shape
+    assert (kh, kw) == (3, 3) and wc == C
+    G, K = offset.shape[3], offset.shape[4]
+    assert K == 9 and C % G == 0
+    R = int(max_offset)
+    Rt = int(tail_offset)
+    assert Rt > R
+    rpb_b = _clamp_rpb(R, rows_per_step)
+    rpb_t = _clamp_rpb(Rt, rows_per_step)
+
+    # ---- base pass at R, uncropped (the tail aliases into its buffer) ----
+    PY, PX, MK, Wk, xt, d = _prep(x, offset, mask, weight, R, rpb_b)
+    n_rblk_b, n_seg = d["n_rblk"], d["n_seg"]
+    Cg = d["Cg"]
+    base = pl.pallas_call(
+        functools.partial(
+            _kernel, R=R, G=G, K=K, Cg=Cg, O=O,
+            band_alloc=d["band_alloc"], seg=d["seg"], rpb=rpb_b,
+            n_rblk=n_rblk_b, n_seg=n_seg, n_b=B,
+            dot_bf16=(d["band_dtype"] == jnp.bfloat16),
+        ),
+        grid=(B, n_rblk_b, n_seg),
+        in_specs=[
+            pl.BlockSpec((rpb_b * 48, d["seg"]),
+                         lambda b, r, s: ((b * n_rblk_b + r) * n_seg + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpb_b * 48, d["seg"]),
+                         lambda b, r, s: ((b * n_rblk_b + r) * n_seg + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpb_b * 48, d["seg"]),
+                         lambda b, r, s: ((b * n_rblk_b + r) * n_seg + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, rpb_b, d["seg"], O),
+                               lambda b, r, s: (b, r, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, d["H_pad"], d["Wp_out"], O),
+                                       d["out_dtype"]),
+        scratch_shapes=_scratch_shapes(d, R, rpb_b),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(PY, PX, MK, Wk, xt)
+
+    # ---- tail pass at R_tail over the selected row blocks ---------------
+    PYt, PXt, MKt, Wkt, xtt, dt = _prep(x, offset, mask, weight, Rt, rpb_t,
+                                        extra_block=True)
+    n_rblk_t = dt["n_rblk"]
+
+    # per-(b, row-block) out-of-band flag; the sacrificial block (last of
+    # each image) stays unselected because offsets there are zero-padded
+    offa = jnp.abs(offset.astype(jnp.float32))
+    oob_row = jnp.any(jnp.max(offa, axis=-1) > R, axis=(2, 3, 4))  # [B, H]
+    Ht = n_rblk_t * rpb_t
+    oob_blk = jnp.any(
+        jnp.pad(oob_row, [(0, 0), (0, Ht - H)]).reshape(B, n_rblk_t, rpb_t),
+        axis=2,
+    ).reshape(-1)  # [B * n_rblk_t]
+
+    n_blocks = B * n_rblk_t
+    sentinel = n_rblk_t - 1  # image 0's sacrificial block (flat id)
+    n_sel = max(1, min(n_blocks,
+                       -(-int(n_blocks * capacity_frac) // 8) * 8))
+    pos = jnp.cumsum(oob_blk.astype(jnp.int32)) - 1
+    selected = oob_blk & (pos < n_sel)
+    slot = jnp.where(selected, pos, n_sel)
+    ids = (
+        jnp.full((n_sel + 1,), sentinel, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n_blocks, dtype=jnp.int32), mode="drop")
+    )  # +1: the prefetch reads ids[sel+1] on the last step
+
+    # base buffer (H_pad_base rows) re-homed to the tail's padded height
+    base_t = base
+    if dt["H_pad"] != d["H_pad"]:
+        if dt["H_pad"] > d["H_pad"]:
+            base_t = jnp.pad(
+                base, [(0, 0), (0, dt["H_pad"] - d["H_pad"]), (0, 0), (0, 0)])
+        else:
+            base_t = base[:, :dt["H_pad"]]
+
+    grid = (n_sel, n_seg)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_selected, R=Rt, G=G, K=K, Cg=Cg, O=O,
+            band_alloc=dt["band_alloc"], seg=dt["seg"], rpb=rpb_t,
+            n_rblk=n_rblk_t, n_seg=n_seg, n_sel=n_sel,
+            dot_bf16=(dt["band_dtype"] == jnp.bfloat16),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (rpb_t * 48, dt["seg"]),
+                    lambda i, s, ids_ref: (ids_ref[i] * n_seg + s, 0)),
+                pl.BlockSpec(
+                    (rpb_t * 48, dt["seg"]),
+                    lambda i, s, ids_ref: (ids_ref[i] * n_seg + s, 0)),
+                pl.BlockSpec(
+                    (rpb_t * 48, dt["seg"]),
+                    lambda i, s, ids_ref: (ids_ref[i] * n_seg + s, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                # aliased base output: full buffer, ANY (never block-read)
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rpb_t, dt["seg"], O),
+                lambda i, s, ids_ref: (ids_ref[i] // n_rblk_t,
+                                       ids_ref[i] % n_rblk_t, s, 0)),
+            scratch_shapes=_scratch_shapes(dt, Rt, rpb_t),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, dt["H_pad"], dt["Wp_out"], O),
+                                       dt["out_dtype"]),
+        # index counts the scalar-prefetch operand: (ids, PY, PX, MK, Wk,
+        # xt, base) -> base is input 6
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ids, PYt, PXt, MKt, Wkt, xtt, base_t)
+
     out = out[:, :H, :W, :]
     if bias is not None:
         out = out + bias.astype(out.dtype)

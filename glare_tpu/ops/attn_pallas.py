@@ -92,9 +92,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "n_true",
                                               "interpret"))
-def flash_attention_nhc(q, k, v, *, bq=512, bk=1024, n_true=None,
+def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
                         interpret=False):
     """Softmax(q k^T / sqrt(c)) v for [B, N, C] single-head inputs.
+
+    Default (bq, bk) = (1024, 1024): best of the block sweep at the B=8
+    16k-token c=512 decoder shape — 30.6 ms / 142 TFLOP/s vs (512, 1024)'s
+    31.2 / 139 (tools/bench_attn_sweep.py, 100 MB VMEM limit; the kernel
+    plateaus at ~140 TFLOP/s across all shapes — the online-softmax VPU
+    chain, not per-step overhead, is the bound).
 
     Scores/statistics f32 in VMEM; output dtype follows q. N is padded to
     the block multiples internally and the result sliced back. Callers that
@@ -136,6 +142,10 @@ def flash_attention_nhc(q, k, v, *, bq=512, bk=1024, n_true=None,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default 16 MB VMEM rejects the larger tiles; bigger (bq, bk)
+            # means fewer grid steps (per-step overhead) and fewer m/l/acc
+            # rescale passes per flop
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nq_pad * nk_pad * c,

@@ -369,7 +369,28 @@ def convert_swinir(sd, depths=None):
     return out
 
 
-def convert_vgg16_npz(dst):
+def convert_vgg16_npz(dst, src=None):
+    """Export the first 16 torchvision-VGG16 feature layers' convs to npz.
+
+    src: optional local state-dict drop (torch-hub format,
+    ``features.N.weight`` keys — e.g. vgg16-397923af.pth) for offline
+    images without torchvision; otherwise torchvision's pretrained model.
+    """
+    if src is not None:
+        import torch
+
+        sd = torch.load(src, map_location="cpu")
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        # conv layer indices inside features[:16] of torchvision VGG16
+        conv_layers = [0, 2, 5, 7, 10, 12, 14]
+        data = {}
+        for conv_idx, li in enumerate(conv_layers):
+            data[f"conv_{conv_idx}.weight"] = _np(sd[f"features.{li}.weight"])
+            data[f"conv_{conv_idx}.bias"] = _np(sd[f"features.{li}.bias"])
+        np.savez(dst, **data)
+        return
+
     import torchvision
 
     vgg = torchvision.models.vgg16(pretrained=True).features[:16]
@@ -395,7 +416,7 @@ def main():
     args = parser.parse_args()
 
     if args.kind == "vgg16":
-        convert_vgg16_npz(args.dst)
+        convert_vgg16_npz(args.dst, src=args.src)
         print(f"wrote {args.dst}")
         return
 

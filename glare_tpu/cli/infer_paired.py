@@ -84,6 +84,17 @@ def main(default_conf="./confs/LOL.yml"):
             lr_t = np.concatenate([lr_t, his_t], axis=-1)
         return lr_t, h
 
+    # Checkpoint-aware DCN dispatch (round-3 verdict #2): audit the LOADED
+    # weights' learned offsets on the first real image; if the conf's
+    # clamped impl (pallas/chain) would deviate from exact DCNv2 semantics,
+    # auto-switch to the hybrid op with a measured exact-tail capacity.
+    # network_G.dcn_auto: false disables.
+    if (opt_get(opt, ["network_G", "dcn_auto"], True) is not False
+            and hasattr(model, "auto_configure_dcn")):
+        lr_t0, _ = prep(lr_paths[0])
+        stats = model.auto_configure_dcn(jnp.asarray(lr_t0)[None])
+        print(f"DCN offset audit: {stats.get('action')}")
+
     t0 = time.time()
     n_images = 0
     i = 0

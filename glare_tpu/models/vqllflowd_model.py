@@ -265,6 +265,132 @@ class VQLLFLOWDModel(BaseModel):
             return jax.random.normal(key, size) * heat
         return jnp.zeros(size)
 
+    # ---------------- checkpoint-aware DCN dispatch ----------------
+
+    def audit_dcn_offsets(self, lq):
+        """Measured offset stats of the LOADED weights on one batch.
+
+        Runs the stage-3 forward once with the DCNv2Pack offset taps
+        captured (the ``sow`` hook in modules/deformable_decoder.py:85) and
+        returns Linf stats at both tap and pixel granularity. Pixel
+        granularity is what the hybrid op's capacity is denominated in: a
+        pixel needs the exact gather path iff ANY of its G*K taps exceeds
+        the clamp radius (ops/dcn.py:modulated_deform_conv_hybrid).
+        """
+        import numpy as np
+
+        x, lr_enc = jax.jit(lambda p, a: self.netG.apply(
+            {"params": p}, a, method=VQLLFLOWDeformable.latent_half
+        ))(self.params, lq)
+        _, _, code_out = jax.jit(lambda v, a: self.net_hq.apply(
+            v, a, method=VQModel.decode))(self.vq_variables, x)
+        _, st = jax.jit(lambda p, a, c, m: self.netG.apply(
+            {"params": p}, a, c, m,
+            method=VQLLFLOWDeformable.aft_half,
+            capture_intermediates=lambda mdl, name: name == "offsets",
+            mutable=["intermediates"],
+        ))(self.params, x, code_out, lr_enc["mid_feat"])
+
+        tap_linf, pix_linf, blk_fr = [], [], {r: [] for r in (1, 2, 4, 8)}
+
+        def walk(tree):
+            if isinstance(tree, dict):
+                if "offsets" in tree and not isinstance(tree["offsets"], dict):
+                    offs = np.abs(np.asarray(tree["offsets"][0]))  # [B,H,W,G,K,2]
+                    tap_linf.append(offs.max(axis=-1).reshape(-1))
+                    pix_linf.append(offs.max(axis=(3, 4, 5)).reshape(-1))
+                    # row-block granularity (the cascade tail's capacity
+                    # unit, 8 rows per block): a block needs the tail pass
+                    # iff any of its taps exceeds R
+                    row = offs.max(axis=(2, 3, 4, 5))  # [B, H]
+                    B_, H_ = row.shape
+                    Hb = -(-H_ // 8) * 8
+                    row = np.pad(row, [(0, 0), (0, Hb - H_)])
+                    blk = row.reshape(B_, -1, 8).max(axis=2).reshape(-1)
+                    for r in blk_fr:
+                        blk_fr[r].append(blk > r)
+                for k, v in tree.items():
+                    if k != "offsets":
+                        walk(v)
+
+        walk(st["intermediates"])
+        taps = np.concatenate(tap_linf)
+        pix = np.concatenate(pix_linf)
+        return {
+            "tap_p99": float(np.percentile(taps, 99)),
+            "tap_max": float(taps.max()),
+            "tap_frac_exceed": {r: float((taps > r).mean()) for r in (1, 2, 4, 8)},
+            "pix_frac_exceed": {r: float((pix > r).mean()) for r in (1, 2, 4, 8)},
+            "rowblk_frac_exceed": {
+                r: float(np.concatenate(v).mean()) for r, v in blk_fr.items()},
+        }
+
+    def auto_configure_dcn(self, lq, tap_tol=1e-3, capacity_margin=4.0):
+        """Pick a parity-safe DCN path for the loaded checkpoint.
+
+        The fast clamped impls (pallas/chain) are exact only while the
+        learned offsets stay inside [-R, R]; reference-trained weights are
+        not guaranteed to (OFFSET_HIST artifacts show 26%% of taps beyond
+        2 px on one trained checkpoint). This measures the loaded weights on
+        the first real batch and:
+
+          * clamped impl, tail <= tap_tol  -> keep it (verified safe);
+          * clamped impl, tail >  tap_tol  -> switch to 'hybrid' (the
+            cascaded band kernel: clamp-R base + row-block-compacted
+            R_tail pass, ops/dcn_pallas.py) with R_tail raised above the
+            measured tap max and capacity = capacity_margin x the measured
+            out-of-band ROW-BLOCK fraction;
+          * 'hybrid'/'hybrid_gather' -> retune capacity (and R_tail for
+            'hybrid') the same way;
+          * 'xla'    -> nothing to do (already exact).
+
+        Returns the stats dict (with an added 'action' field). Conf key
+        network_G.dcn_auto: false disables this (infer CLI calls it).
+        """
+        impl = getattr(self.netG, "dcn_impl", "xla")
+        if impl == "xla":
+            return {"action": "none (exact xla path)"}
+        R = int(getattr(self.netG, "dcn_max_offset", 2))
+        stats = self.audit_dcn_offsets(lq)
+        tail = stats["tap_frac_exceed"].get(R, 0.0)
+        blk_tail = stats["rowblk_frac_exceed"].get(R, 0.0)
+        cap = min(0.5, max(1 / 64, capacity_margin * blk_tail))
+        # smallest supported tail radius covering the measured max offset
+        # (beyond 16 the (2R+1)^2 select-chain stops paying; those
+        # checkpoints should run hybrid_gather or xla)
+        tap_max = stats["tap_max"]
+        r_tail = next((r for r in (4, 8, 16) if r > R and tap_max <= r), None)
+        if impl in ("pallas", "chain") and tail > tap_tol:
+            if r_tail is None:
+                self.netG = self.netG.clone(dcn_impl="hybrid_gather",
+                                            dcn_hybrid_capacity=cap)
+                stats["action"] = (
+                    f"switched {impl} -> hybrid_gather (R={R} tail "
+                    f"{tail:.4f} > {tap_tol}, tap max {tap_max:.1f} beyond "
+                    f"the cascade's 16 px tail)")
+            else:
+                self.netG = self.netG.clone(dcn_impl="hybrid",
+                                            dcn_hybrid_capacity=cap,
+                                            dcn_hybrid_tail_offset=r_tail)
+                stats["action"] = (
+                    f"switched {impl} -> hybrid (R={R} tail {tail:.4f} > "
+                    f"{tap_tol}; R_tail={r_tail} covers tap max "
+                    f"{tap_max:.1f}; capacity {cap:.4f} = {capacity_margin}x"
+                    f" measured row-block tail {blk_tail:.4f})")
+            self._jit_cache.clear()
+        elif impl in ("hybrid", "hybrid_gather"):
+            kw = {"dcn_hybrid_capacity": cap}
+            if impl == "hybrid" and r_tail is not None:
+                kw["dcn_hybrid_tail_offset"] = r_tail
+            self.netG = self.netG.clone(**kw)
+            self._jit_cache.clear()
+            stats["action"] = (
+                f"{impl} retuned: capacity {cap:.4f} from measured "
+                f"row-block tail {blk_tail:.4f} (R={R}, tap max {tap_max:.1f})")
+        else:
+            stats["action"] = f"kept {impl} (R={R} tail {tail:.6f} <= {tap_tol})"
+        return stats
+
     # ---------------- persistence ----------------
 
     def save(self, iter_label):

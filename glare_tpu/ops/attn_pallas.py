@@ -41,9 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-            scale, n_true, bk, n_kblk):
+def _kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, m_ref, l_ref, acc_ref, *,
+            masked):
     ik = pl.program_id(2)
+    n_kblk = pl.num_programs(2)
 
     @pl.when(ik == 0)
     def _init():
@@ -53,20 +54,22 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     q = q_ref[0]                                   # [bq, c]
     k = k_ref[0]                                   # [bk, c]
-    # softmax in the base-2 domain: scale carries log2(e), p/corr use the
-    # hardware exp2 unit (exp lowers to exp2 + an extra multiply per
-    # ELEMENT of the [bq, bk] tile; folding it into the scalar scale makes
-    # the whole softmax pure exp2). Statistics m/l are base-2 too —
-    # mathematically identical softmax.
+    # softmax in the base-2 domain: the caller folds scale*log2(e) into q
+    # BEFORE the kernel (an [n, c] multiply instead of an [n, n] one — the
+    # kernel is VPU-chain-bound, so every [bq, bk] pass counts); p/corr use
+    # the hardware exp2 unit. Statistics m/l are base-2 too — mathematically
+    # identical softmax.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                      # [bq, bk] f32, log2-scaled
+    )                                              # [bq, bk] f32, log2-scaled
 
-    # mask padded key tokens (branchless: only the last k block can
-    # contain them, but the compare+select is VPU-free next to the matmul)
-    kidx = ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kidx < n_true, s, _NEG_INF)
+    # padded-key masking: a precomputed [1, bk] additive row (0 real,
+    # -inf padded) — ONE broadcast-add pass, vs the iota+compare+select
+    # three-pass formulation this replaces. Skipped entirely (traced out)
+    # when the caller didn't pad.
+    if masked:
+        s = s + kmask_ref[0]
 
     m_prev = m_ref[:, :1]                          # [bq, 1]
     l_prev = l_ref[:, :1]
@@ -113,25 +116,33 @@ def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
     b, n, c = q.shape
     if n_true is None:
         n_true = n
-    # 1/sqrt(c) softmax scale x log2(e): the kernel's softmax runs in the
-    # base-2 domain (see _kernel)
+    # 1/sqrt(c) softmax scale x log2(e), folded into q OUTSIDE the kernel:
+    # an [n, c] multiply here replaces an [n, n] per-tile multiply inside
+    # the VPU-bound kernel (see _kernel). max/exp2 commute with the
+    # positive scale, so the math is identical.
     scale = float(c) ** -0.5 * 1.4426950408889634
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     nq_pad = -(-n // bq) * bq
     nk_pad = -(-n // bk) * bk
     qp = jnp.pad(q, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else q
     kp = jnp.pad(k, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else k
     vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else v
     n_kblk = nk_pad // bk
+    masked = n_true < nk_pad
+    # additive key mask row: 0 for real tokens, -inf for padding
+    kmask = jnp.where(jnp.arange(nk_pad) < n_true, 0.0, _NEG_INF)[
+        None, :
+    ].astype(jnp.float32)
 
     grid = (b, nq_pad // bq, n_kblk)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, n_true=n_true, bk=bk,
-                          n_kblk=n_kblk),
+        functools.partial(_kernel, masked=masked),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
             pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
             pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, bk), lambda ib, iq, ik: (0, ik)),
         ],
         out_specs=pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), q.dtype),
@@ -153,5 +164,5 @@ def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
             transcendentals=b * nq_pad * nk_pad,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, kmask)
     return out[:, :n] if nq_pad != n else out

@@ -26,7 +26,16 @@ def _gaussian_window(window_size=11, sigma=1.5):
 
 
 def _filter_valid(img, window):
-    """Depthwise valid conv with a 2D window; img NHWC."""
+    """Depthwise valid conv with a 2D window; img NHWC.
+
+    precision=HIGHEST: these convs feed variance estimates E[x^2]-mu^2
+    whose true magnitude can sit far below C2=9e-4. On TPU the default
+    f32 conv precision is bf16 multiplies (~8e-3 relative error), which
+    drove sigma1+sigma2+C2 negative on real 256px training batches and
+    NaN'd the stage-3 loss through the fractional pow in msssim (round-4
+    offset-drive crash, experiments/offsetdrive_s3_archived_*). The
+    reference computes these in full f32 CUDA; HIGHEST restores that.
+    """
     c = img.shape[-1]
     k = window.shape[0]
     kernel = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 per group
@@ -37,6 +46,7 @@ def _filter_valid(img, window):
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -51,8 +61,11 @@ def ssim(img1, img2, window_size=11, val_range=1.0, full=False):
     mu1_sq = mu1 ** 2
     mu2_sq = mu2 ** 2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _filter_valid(img1 * img1, window) - mu1_sq
-    sigma2_sq = _filter_valid(img2 * img2, window) - mu2_sq
+    # variances are >= 0 in exact arithmetic; clamp the E[x^2]-mu^2
+    # cancellation residue so v2 = sigma1+sigma2+C2 stays >= C2 > 0 and
+    # cs stays in [-1, 1] (up to rounding) — see _filter_valid docstring
+    sigma1_sq = jnp.maximum(_filter_valid(img1 * img1, window) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_filter_valid(img2 * img2, window) - mu2_sq, 0.0)
     sigma12 = _filter_valid(img1 * img2, window) - mu1_mu2
 
     C1 = (0.01 * val_range) ** 2
@@ -84,13 +97,24 @@ def msssim(img1, img2, window_size=11, val_range=1.0, normalize=False):
             img2, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
         ) / 4.0
 
-    mssim = jnp.stack(mssim)
-    mcs = jnp.stack(mcs)
+    return _combine(jnp.stack(mssim), jnp.stack(mcs), weights, normalize)
+
+
+def _combine(mssim, mcs, weights, normalize):
+    """Per-level ssim/cs -> scalar MS-SSIM (split out for the NaN
+    regression test, tests/test_msssim_robustness.py)."""
     if normalize:
         mssim = (mssim + 1) / 2
         mcs = (mcs + 1) / 2
-    pow1 = mcs ** weights
-    pow2 = mssim ** weights
+    # safe pow: ssim/cs live in [-1, 1] only up to float rounding, so the
+    # (x+1)/2 normalization can still hand a (slightly) negative base to a
+    # fractional exponent -> NaN. That NaN killed the round-4 stage-3
+    # offset drive at iter 1 (ssim_loss: nan). Clamp to a tiny positive
+    # floor: forward effect is nil for in-range values (bases ~0.5..1) and
+    # the gradient stays finite (d/dx x^w -> inf at x=0 for w<1).
+    eps = jnp.asarray(1e-6, mssim.dtype)
+    pow1 = jnp.maximum(mcs, eps) ** weights
+    pow2 = jnp.maximum(mssim, eps) ** weights
     # protocol quirk kept bug-for-bug: the reference computes
     # prod(pow1[:-1] * pow2[-1]) (pytorch_msssim/__init__.py:100-103), which
     # broadcasts the last-level ssim term into all four cs factors, i.e.

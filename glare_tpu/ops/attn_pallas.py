@@ -93,10 +93,64 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _kernel_pipe(q_ref, k_ref, v_ref, kmask_ref, o_ref, m_ref, l_ref,
+                 acc_ref, s_buf, *, masked):
+    """Software-pipelined variant: step ik PRODUCES the score tile for
+    k-block ik (pure MXU) and CONSUMES the tile produced at ik-1 (the
+    softmax VPU chain + the AV matmul). The two halves touch different
+    s_buf slots and different k/v blocks, so the vector unit's online-
+    softmax chain can run under the matrix unit's QK^T instead of
+    serializing after it — the serial chain is what held the one-pass
+    kernel at 136.5 TFLOP/s vs the convs' 166.6 (PROFILE_r04.json).
+    Grid is one step longer (n_kblk + 1): step 0 only produces, the last
+    step only consumes and emits."""
+    ik = pl.program_id(2)
+    n_kblk = pl.num_programs(2) - 1
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(ik < n_kblk)
+    def _produce():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [bq, bk] f32, log2-scaled
+        if masked:
+            s = s + kmask_ref[0]
+        s_buf[jax.lax.rem(ik, 2)] = s
+
+    @pl.when(ik > 0)
+    def _consume():
+        s = s_buf[jax.lax.rem(ik - 1, 2)]
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0]                               # k/v specs lag one block
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = l_new
+
+        @pl.when(ik == n_kblk)
+        def _emit():
+            o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "n_true",
-                                              "interpret"))
+                                              "interpret", "pipeline"))
 def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
-                        interpret=False):
+                        interpret=False, pipeline=False):
     """Softmax(q k^T / sqrt(c)) v for [B, N, C] single-head inputs.
 
     Default (bq, bk) = (1024, 1024): best of the block sweep at the B=8
@@ -134,23 +188,48 @@ def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
         None, :
     ].astype(jnp.float32)
 
-    grid = (b, nq_pad // bq, n_kblk)
-    out = pl.pallas_call(
-        functools.partial(_kernel, masked=masked),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, bk), lambda ib, iq, ik: (0, ik)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), q.dtype),
-        scratch_shapes=[
+    if pipeline:
+        # one extra k-step; k/kmask feed the PRODUCE half (block ik,
+        # clamped on the final consume-only step), v feeds the CONSUME
+        # half (block ik-1, clamped on the produce-only first step)
+        grid = (b, nq_pad // bq, n_kblk + 1)
+        last = n_kblk - 1
+        kernel = functools.partial(_kernel_pipe, masked=masked)
+        k_spec = pl.BlockSpec(
+            (1, bk, c), lambda ib, iq, ik: (ib, jnp.minimum(ik, last), 0))
+        v_spec = pl.BlockSpec(
+            (1, bk, c), lambda ib, iq, ik: (ib, jnp.maximum(ik - 1, 0), 0))
+        km_spec = pl.BlockSpec(
+            (1, bk), lambda ib, iq, ik: (0, jnp.minimum(ik, last)))
+        scratch = [
             pltpu.VMEM((bq, 128), jnp.float32),    # running max
             pltpu.VMEM((bq, 128), jnp.float32),    # running sum
             pltpu.VMEM((bq, c), jnp.float32),      # output accumulator
+            pltpu.VMEM((2, bq, bk), jnp.float32),  # double-buffered scores
+        ]
+    else:
+        grid = (b, nq_pad // bq, n_kblk)
+        kernel = functools.partial(_kernel, masked=masked)
+        k_spec = pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0))
+        v_spec = pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0))
+        km_spec = pl.BlockSpec((1, bk), lambda ib, iq, ik: (0, ik))
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),    # running max
+            pltpu.VMEM((bq, 128), jnp.float32),    # running sum
+            pltpu.VMEM((bq, c), jnp.float32),      # output accumulator
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+            k_spec,
+            v_spec,
+            km_spec,
         ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), q.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # default 16 MB VMEM rejects the larger tiles; bigger (bq, bk)

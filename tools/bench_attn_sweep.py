@@ -36,10 +36,13 @@ def main():
     flops = 4 * args.b * args.n * args.n * args.c
 
     ref = None
-    for bq, bk in [(512, 1024), (512, 2048), (1024, 1024), (1024, 2048),
-                   (256, 2048), (2048, 1024), (1024, 512)]:
+    for bq, bk, pipe in [(1024, 1024, False), (1024, 1024, True),
+                         (512, 1024, True), (1024, 2048, True),
+                         (512, 2048, True), (2048, 1024, True),
+                         (1024, 512, True), (256, 2048, False)]:
         try:
-            fn = lambda: flash_attention_nhc(q, k, v, bq=bq, bk=bk)
+            fn = lambda: flash_attention_nhc(q, k, v, bq=bq, bk=bk,
+                                             pipeline=pipe)
             out = fn()
             np.asarray(out[0, 0, 0])
             t0 = time.perf_counter()
@@ -48,7 +51,8 @@ def main():
             np.asarray(out[0, 0, 0])
             dt = (time.perf_counter() - t0) / args.iters
             tf = flops / dt / 1e12
-            line = f"bq={bq:5d} bk={bk:5d}  {dt * 1e3:7.2f} ms  {tf:6.1f} TFLOP/s"
+            line = (f"bq={bq:5d} bk={bk:5d} pipe={int(pipe)}  "
+                    f"{dt * 1e3:7.2f} ms  {tf:6.1f} TFLOP/s")
             if ref is None:
                 ref = np.asarray(out, np.float32)
                 line += "  (reference output)"
@@ -58,8 +62,8 @@ def main():
                 line += f"  rel-vs-first {rel:.2e}"
             print(line, flush=True)
         except Exception as e:  # noqa: BLE001 — VMEM overflow etc.
-            print(f"bq={bq:5d} bk={bk:5d}  FAILED: {type(e).__name__}: "
-                  f"{str(e)[:80]}", flush=True)
+            print(f"bq={bq:5d} bk={bk:5d} pipe={int(pipe)}  FAILED: "
+                  f"{type(e).__name__}: {str(e)[:80]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -230,19 +230,81 @@ class VQLLFLOWDModel(BaseModel):
             decode = jax.jit(
                 lambda v, x: self.net_hq.apply(v, x, method=VQModel.decode)
             )
-            aft = jax.jit(
-                lambda p, x, c, m: self.netG.apply(
-                    {"params": p}, x, c, m, method=VQLLFLOWDeformable.aft_half
+            # 'hybrid' (cascade) only: also capture the per-DCN overflow
+            # counters the kernel already computes, so callers can tell
+            # whether THIS batch stayed exact (capacity/radius audited on a
+            # different batch may not generalize — round-4 verdict #4).
+            impl_attr = getattr(self.netG, "dcn_impl", "xla")
+            impl_list = (list(impl_attr)
+                         if isinstance(impl_attr, (tuple, list))
+                         else [impl_attr])
+            # every bounded impl reports its exactness counters ('hybrid':
+            # capacity/R_tail overflow; 'pallas'/'chain': taps beyond the
+            # clamp). The raw-offset audit sows are gated off
+            # (dcn_audit_offsets), so the capture costs two [2] vectors.
+            capture_ov = bool(
+                {"hybrid", "pallas", "chain"} & set(impl_list))
+            if capture_ov:
+                aft = jax.jit(
+                    lambda p, x, c, m: self.netG.apply(
+                        {"params": p}, x, c, m,
+                        method=VQLLFLOWDeformable.aft_half,
+                        capture_intermediates=(
+                            lambda mdl, name: name == "dcn_overflow"),
+                        mutable=["intermediates"],
+                    )
                 )
-            )
+            else:
+                aft = jax.jit(
+                    lambda p, x, c, m: self.netG.apply(
+                        {"params": p}, x, c, m, method=VQLLFLOWDeformable.aft_half
+                    )
+                )
 
             def fn(params, vq_variables, lq):
                 x, lr_enc = latent(params, lq)
                 _, _, code_out = decode(vq_variables, x)
+                if capture_ov:
+                    rec, st = aft(params, x, code_out, lr_enc["mid_feat"])
+                    # no sows at all (e.g. the CPU gather-hybrid fallback
+                    # reports no counters) -> flax omits the collection
+                    self._dcn_overflow_raw = st.get("intermediates", {})
+                    return rec
+                self._dcn_overflow_raw = None
                 return aft(params, x, code_out, lr_enc["mid_feat"])
 
             self._jit_cache["get_sr"] = fn
         return fn(self.params, self.vq_variables, lq)
+
+    def last_dcn_overflow(self):
+        """Summed [n_overflow_blocks, n_taps_beyond_tail] over every DCNv2
+        pack in the last get_sr call, or None when the active impl is not
+        'hybrid'. Nonzero counts mean the last batch's output deviated from
+        exact DCNv2 semantics (cascade capacity or R_tail exceeded)."""
+        raw = getattr(self, "_dcn_overflow_raw", None)
+        if raw is None:
+            return None
+        import numpy as np
+
+        # Sum ONLY the "dcn_overflow" sows: the mutable intermediates
+        # collection also records every other explicit sow in the module
+        # tree (e.g. the audit's [B,H,W,G,K,2] "offsets" taps in
+        # modules/deformable_decoder.py:91), which must not pollute the
+        # two counters.
+        total = np.zeros(2, np.int64)
+
+        def walk(tree):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    if k == "dcn_overflow":
+                        for leaf in jax.tree_util.tree_leaves(v):
+                            total[:] += np.asarray(leaf, np.int64)
+                    else:
+                        walk(v)
+
+        walk(raw)
+        return {"overflow_blocks": int(total[0]),
+                "taps_beyond_tail": int(total[1])}
 
     def get_sr_with_z(self, lq, heat=None, seed=None, z=None, epses=None):
         """Reference-API parity (VQLLFLOWD_model.py:296-305). The latent seed
@@ -267,62 +329,107 @@ class VQLLFLOWDModel(BaseModel):
 
     # ---------------- checkpoint-aware DCN dispatch ----------------
 
-    def audit_dcn_offsets(self, lq):
+    def audit_dcn_offsets(self, lq, radii=(1, 2, 4, 8)):
         """Measured offset stats of the LOADED weights on one batch.
 
         Runs the stage-3 forward once with the DCNv2Pack offset taps
         captured (the ``sow`` hook in modules/deformable_decoder.py:85) and
-        returns Linf stats at both tap and pixel granularity. Pixel
-        granularity is what the hybrid op's capacity is denominated in: a
-        pixel needs the exact gather path iff ANY of its G*K taps exceeds
-        the clamp radius (ops/dcn.py:modulated_deform_conv_hybrid).
+        returns Linf stats at tap, pixel, and row-block granularity, at
+        every radius in ``radii`` (callers pass the actual clamp radius —
+        the menu is not fixed). Pixel granularity is what the gather
+        hybrid's capacity is denominated in (a pixel needs the exact path
+        iff ANY of its G*K taps exceeds the clamp radius,
+        ops/dcn.py:modulated_deform_conv_hybrid); row-block granularity is
+        the cascade tail's unit, reported for BOTH block sizes the kernel
+        can run (rows_per_step 16 for R_tail < 6, 8 otherwise —
+        ops/dcn_pallas.py:_clamp_rpb).
         """
         import numpy as np
 
-        x, lr_enc = jax.jit(lambda p, a: self.netG.apply(
+        netG_audit = self.netG.clone(dcn_audit_offsets=True)
+        x, lr_enc = jax.jit(lambda p, a: netG_audit.apply(
             {"params": p}, a, method=VQLLFLOWDeformable.latent_half
         ))(self.params, lq)
         _, _, code_out = jax.jit(lambda v, a: self.net_hq.apply(
             v, a, method=VQModel.decode))(self.vq_variables, x)
-        _, st = jax.jit(lambda p, a, c, m: self.netG.apply(
+        _, st = jax.jit(lambda p, a, c, m: netG_audit.apply(
             {"params": p}, a, c, m,
             method=VQLLFLOWDeformable.aft_half,
             capture_intermediates=lambda mdl, name: name == "offsets",
             mutable=["intermediates"],
         ))(self.params, x, code_out, lr_enc["mid_feat"])
 
-        tap_linf, pix_linf, blk_fr = [], [], {r: [] for r in (1, 2, 4, 8)}
+        radii = tuple(sorted({int(r) for r in radii}))
+        rpbs = (8, 16)
+        tap_linf, pix_linf = [], []
+        blk_fr = {rpb: {r: [] for r in radii} for rpb in rpbs}
+        per_warp = {}
 
-        def walk(tree):
+        def one_warp(offs):
+            # offs: |offsets| [B,H,W,G,K,2] of one DCNv2Pack
+            taps_w = offs.max(axis=-1).reshape(-1)
+            pix_w = offs.max(axis=(3, 4, 5)).reshape(-1)
+            row = offs.max(axis=(2, 3, 4, 5))  # [B, H]
+            B_, H_ = row.shape
+            blks_w = {}
+            for rpb in rpbs:
+                Hb = -(-H_ // rpb) * rpb
+                rowp = np.pad(row, [(0, 0), (0, Hb - H_)])
+                blks_w[rpb] = rowp.reshape(B_, -1, rpb).max(axis=2).reshape(-1)
+            return taps_w, pix_w, blks_w
+
+        def walk(tree, path):
             if isinstance(tree, dict):
                 if "offsets" in tree and not isinstance(tree["offsets"], dict):
                     offs = np.abs(np.asarray(tree["offsets"][0]))  # [B,H,W,G,K,2]
-                    tap_linf.append(offs.max(axis=-1).reshape(-1))
-                    pix_linf.append(offs.max(axis=(3, 4, 5)).reshape(-1))
-                    # row-block granularity (the cascade tail's capacity
-                    # unit, 8 rows per block): a block needs the tail pass
-                    # iff any of its taps exceeds R
-                    row = offs.max(axis=(2, 3, 4, 5))  # [B, H]
-                    B_, H_ = row.shape
-                    Hb = -(-H_ // 8) * 8
-                    row = np.pad(row, [(0, 0), (0, Hb - H_)])
-                    blk = row.reshape(B_, -1, 8).max(axis=2).reshape(-1)
-                    for r in blk_fr:
-                        blk_fr[r].append(blk > r)
+                    taps_w, pix_w, blks_w = one_warp(offs)
+                    tap_linf.append(taps_w)
+                    pix_linf.append(pix_w)
+                    # row-block granularity: a block needs the tail pass iff
+                    # any of its taps exceeds R; measured at both block sizes
+                    # the cascade can run (r04 ADVICE: capacity denominated
+                    # at the wrong rpb undershoots by up to 2x)
+                    for rpb in rpbs:
+                        for r in radii:
+                            blk_fr[rpb][r].append(blks_w[rpb] > r)
+                    # per-warp stats: drift is warp-specific (OFFSET_HIST_r05
+                    # — one warp at 6.4 px, the other under 0.9), so the
+                    # dispatch decision is per-warp too
+                    wname = next((p for p in path if p.startswith("warp_")),
+                                 "/".join(path))
+                    per_warp[wname] = {
+                        "tap_p99": float(np.percentile(taps_w, 99)),
+                        "tap_max": float(taps_w.max()),
+                        "tap_frac_exceed": {
+                            r: float((taps_w > r).mean()) for r in radii},
+                        "pix_frac_exceed": {
+                            r: float((pix_w > r).mean()) for r in radii},
+                        "rowblk_frac_exceed_by_rpb": {
+                            rpb: {r: float((blks_w[rpb] > r).mean())
+                                  for r in radii}
+                            for rpb in rpbs},
+                    }
                 for k, v in tree.items():
                     if k != "offsets":
-                        walk(v)
+                        walk(v, path + [k])
 
-        walk(st["intermediates"])
+        walk(st["intermediates"], [])
         taps = np.concatenate(tap_linf)
         pix = np.concatenate(pix_linf)
         return {
             "tap_p99": float(np.percentile(taps, 99)),
             "tap_max": float(taps.max()),
-            "tap_frac_exceed": {r: float((taps > r).mean()) for r in (1, 2, 4, 8)},
-            "pix_frac_exceed": {r: float((pix > r).mean()) for r in (1, 2, 4, 8)},
+            "tap_frac_exceed": {r: float((taps > r).mean()) for r in radii},
+            "pix_frac_exceed": {r: float((pix > r).mean()) for r in radii},
+            # back-compat alias: 8-row blocks (tools/offset_histogram.py)
             "rowblk_frac_exceed": {
-                r: float(np.concatenate(v).mean()) for r, v in blk_fr.items()},
+                r: float(np.concatenate(v).mean())
+                for r, v in blk_fr[8].items()},
+            "rowblk_frac_exceed_by_rpb": {
+                rpb: {r: float(np.concatenate(v).mean())
+                      for r, v in by_r.items()}
+                for rpb, by_r in blk_fr.items()},
+            "warps": per_warp,
         }
 
     def auto_configure_dcn(self, lq, tap_tol=1e-3, capacity_margin=4.0):
@@ -347,48 +454,119 @@ class VQLLFLOWDModel(BaseModel):
         Returns the stats dict (with an added 'action' field). Conf key
         network_G.dcn_auto: false disables this (infer CLI calls it).
         """
-        impl = getattr(self.netG, "dcn_impl", "xla")
-        if impl == "xla":
+        import math
+
+        import numpy as np
+
+        def aslist(v):
+            return list(v) if isinstance(v, (tuple, list)) else [v, v]
+
+        impls = aslist(getattr(self.netG, "dcn_impl", "xla"))
+        if all(i == "xla" for i in impls):
             return {"action": "none (exact xla path)"}
-        R = int(getattr(self.netG, "dcn_max_offset", 2))
-        stats = self.audit_dcn_offsets(lq)
-        tail = stats["tap_frac_exceed"].get(R, 0.0)
-        blk_tail = stats["rowblk_frac_exceed"].get(R, 0.0)
-        cap = min(0.5, max(1 / 64, capacity_margin * blk_tail))
-        # smallest supported tail radius covering the measured max offset
-        # (beyond 16 the (2R+1)^2 select-chain stops paying; those
-        # checkpoints should run hybrid_gather or xla)
-        tap_max = stats["tap_max"]
-        r_tail = next((r for r in (4, 8, 16) if r > R and tap_max <= r), None)
-        if impl in ("pallas", "chain") and tail > tap_tol:
-            if r_tail is None:
-                self.netG = self.netG.clone(dcn_impl="hybrid_gather",
-                                            dcn_hybrid_capacity=cap)
-                stats["action"] = (
-                    f"switched {impl} -> hybrid_gather (R={R} tail "
-                    f"{tail:.4f} > {tap_tol}, tap max {tap_max:.1f} beyond "
-                    f"the cascade's 16 px tail)")
-            else:
-                self.netG = self.netG.clone(dcn_impl="hybrid",
-                                            dcn_hybrid_capacity=cap,
-                                            dcn_hybrid_tail_offset=r_tail)
-                stats["action"] = (
-                    f"switched {impl} -> hybrid (R={R} tail {tail:.4f} > "
-                    f"{tap_tol}; R_tail={r_tail} covers tap max "
-                    f"{tap_max:.1f}; capacity {cap:.4f} = {capacity_margin}x"
-                    f" measured row-block tail {blk_tail:.4f})")
+        from ..ops.dcn_pallas import _clamp_rpb
+
+        Rs = [int(r) for r in aslist(getattr(self.netG, "dcn_max_offset", 2))]
+        caps0 = aslist(getattr(self.netG, "dcn_hybrid_capacity", 0.125))
+        tails0 = aslist(getattr(self.netG, "dcn_hybrid_tail_offset", 8))
+        # audit at the ACTUAL clamp radii (networks.py accepts any integer),
+        # not a fixed menu — a fixed-menu .get(R, 0.0) silently reported
+        # 'kept' for off-menu radii (r04 ADVICE, medium)
+        stats = self.audit_dcn_offsets(
+            lq, radii=sorted({1, 2, 4, 8, 16} | set(Rs)))
+
+        def cells(r):
+            return (2 * int(r) + 1) ** 2
+
+        def decide(w, ws):
+            """Min-cost EXACT configuration for one warp, from ITS stats.
+
+            Cost proxy = select-chain cells/pixel, the term that dominates
+            both the plain band kernel and each cascade pass
+            (ops/dcn_pallas.py): plain clamp-R' costs cells(R'); the
+            cascade costs cells(R) + capacity*cells(R_tail). Per-warp
+            matters: OFFSET_HIST_r05 measures one warp drifting to 6.4 px
+            spread over ~all row blocks (cascade capacity saturates at 1.0
+            — the cascade is the WRONG shape for it; a plain wide clamp is
+            ~30%% cheaper) while the other stays under 0.9 px (keep the
+            cheap clamped kernel).
+            """
+            impl_w, R_w = impls[w], Rs[w]
+            tail = ws["tap_frac_exceed"][R_w]
+            tap_max = ws["tap_max"]
+            if impl_w in ("pallas", "chain") and tail <= tap_tol:
+                return dict(impl=impl_w, R=R_w, cap=caps0[w],
+                            r_tail=tails0[w], cost=cells(R_w),
+                            note=f"kept (tail {tail:.6f} <= {tap_tol})")
+            opts = []
+            # plain clamped kernel at a radius covering tap max + 1 px
+            # input-dependence margin (r04 ADVICE #3). The band kernel needs
+            # Mosaic hardware; elsewhere the dense select-chain is the same
+            # clamp semantics.
+            plain_impl = ("pallas" if jax.default_backend() == "tpu"
+                          else "chain")
+            r_plain = max(1, int(math.ceil(tap_max + 1.0)))
+            if r_plain <= 15:
+                opts.append(dict(impl=plain_impl, R=r_plain, cap=caps0[w],
+                                 r_tail=max(tails0[w], r_plain + 1),
+                                 cost=cells(r_plain),
+                                 note=f"plain clamp R={r_plain} covers tap "
+                                      f"max {tap_max:.1f} + 1 px"))
+            # cascade: base R_w + compacted R_tail pass; capacity from the
+            # measured block tail at the rpb the kernel will actually use,
+            # UNCAPPED to 1.0 (a 0.5 cap would silently break exactness)
+            for r_t in (4, 8, 16):
+                if r_t > R_w and tap_max <= r_t - 1.0:
+                    rpb = _clamp_rpb(r_t, 16)
+                    frac = ws["rowblk_frac_exceed_by_rpb"][rpb][R_w]
+                    cap = min(1.0, max(1 / 64, capacity_margin * frac))
+                    opts.append(dict(
+                        impl="hybrid", R=R_w, cap=cap, r_tail=r_t,
+                        cost=cells(R_w) + cap * cells(r_t),
+                        note=f"cascade R={R_w}/R_tail={r_t} cap {cap:.4f} "
+                             f"= {capacity_margin}x {rpb}-row-block tail "
+                             f"{frac:.4f}"))
+            if not opts:
+                # beyond the 16 px cascade menu: unbounded gather tail
+                frac = ws["pix_frac_exceed"][R_w]
+                cap = min(1.0, max(1 / 64, capacity_margin * frac))
+                return dict(impl="hybrid_gather", R=R_w, cap=cap,
+                            r_tail=tails0[w], cost=float("inf"),
+                            note=f"tap max {tap_max:.1f} beyond the 16 px "
+                                 f"cascade menu; gather capacity {cap:.4f} "
+                                 f"= {capacity_margin}x pixel tail {frac:.4f}")
+            return min(opts, key=lambda o: o["cost"])
+
+        warp_names = sorted(stats["warps"])
+        decisions = [decide(w, stats["warps"][name])
+                     for w, name in enumerate(warp_names)]
+        if len(decisions) == 1:
+            decisions = decisions * 2
+
+        def collapse(vals):
+            vals = tuple(vals)
+            return vals[0] if len(set(vals)) == 1 else vals
+
+        new = dict(dcn_impl=collapse(d["impl"] for d in decisions),
+                   dcn_max_offset=collapse(d["R"] for d in decisions),
+                   dcn_hybrid_capacity=collapse(d["cap"] for d in decisions),
+                   dcn_hybrid_tail_offset=collapse(
+                       d["r_tail"] for d in decisions))
+        cur = dict(dcn_impl=collapse(impls), dcn_max_offset=collapse(Rs),
+                   dcn_hybrid_capacity=collapse(caps0),
+                   dcn_hybrid_tail_offset=collapse(tails0))
+        per_warp_note = "; ".join(
+            f"{name}: {d['impl']} {d['note']}"
+            for name, d in zip(warp_names, decisions))
+        if new != cur:
+            self.netG = self.netG.clone(**new)
             self._jit_cache.clear()
-        elif impl in ("hybrid", "hybrid_gather"):
-            kw = {"dcn_hybrid_capacity": cap}
-            if impl == "hybrid" and r_tail is not None:
-                kw["dcn_hybrid_tail_offset"] = r_tail
-            self.netG = self.netG.clone(**kw)
-            self._jit_cache.clear()
-            stats["action"] = (
-                f"{impl} retuned: capacity {cap:.4f} from measured "
-                f"row-block tail {blk_tail:.4f} (R={R}, tap max {tap_max:.1f})")
+            stats["action"] = f"reconfigured per-warp: {per_warp_note}"
         else:
-            stats["action"] = f"kept {impl} (R={R} tail {tail:.6f} <= {tap_tol})"
+            stats["action"] = f"kept: {per_warp_note}"
+        stats["decisions"] = {
+            name: {k: v for k, v in d.items()}
+            for name, d in zip(warp_names, decisions)}
         return stats
 
     # ---------------- persistence ----------------

@@ -68,6 +68,12 @@ class DCNv2Pack(nn.Module):
     # (OFFSET_HIST_r03.json: p999 6.5, max 11.1); auto_configure_dcn raises
     # it from the loaded checkpoint's audit. 'hybrid_gather' is unbounded.
     hybrid_tail_offset: int = 8
+    # sow the raw [B,H,W,G,K,2] offsets for distribution audits
+    # (audit_dcn_offsets / tools/offset_histogram.py). Off by default: under
+    # a capturing apply the sow would materialize ~150 MB/batch at the
+    # protocol shape, turning the cheap [2]-counter exactness guard into a
+    # bandwidth hit.
+    audit_offsets: bool = False
 
     @nn.compact
     def __call__(self, x, feat):
@@ -86,9 +92,11 @@ class DCNv2Pack(nn.Module):
             [o1.reshape(B, H, W, G, K), o2.reshape(B, H, W, G, K)], axis=-1
         )
         mask = jax.nn.sigmoid(m.reshape(B, H, W, G, K))
-        # observability for clamp-safety audits (tools/offset_histogram.py);
-        # dead code unless the caller captures intermediates
-        self.sow("intermediates", "offsets", offset)
+        if self.audit_offsets:
+            # observability for clamp-safety audits
+            # (tools/offset_histogram.py); traced away unless the caller
+            # also captures intermediates
+            self.sow("intermediates", "offsets", offset)
 
         weight = self.param(
             "weight",
@@ -99,6 +107,20 @@ class DCNv2Pack(nn.Module):
             (k, k, C, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.impl in ("pallas", "chain"):
+            # clamped impls are exact only while |offset| <= R: report the
+            # violating-tap count in the same [blocks, taps] format as the
+            # cascade so the infer CLI's exactness guard covers this path
+            # too (auto_configure_dcn may pick a plain wide clamp per warp —
+            # offsets are input-dependent, the audit radius has a 1 px
+            # margin, and anything beyond silently clamps without this).
+            # Traced away unless the caller captures intermediates.
+            overflow = jnp.stack([
+                jnp.zeros((), jnp.int32),
+                jnp.sum((jnp.max(jnp.abs(offset), axis=-1)
+                         > float(self.max_offset)).astype(jnp.int32)),
+            ])
+            self.sow("intermediates", "dcn_overflow", overflow)
         if self.impl == "pallas":
             from ..ops.dcn_pallas import modulated_deform_conv_pallas
 
@@ -120,13 +142,20 @@ class DCNv2Pack(nn.Module):
             if jax.default_backend() == "tpu":
                 from ..ops.dcn_pallas import modulated_deform_conv_pallas_cascade
 
-                return modulated_deform_conv_pallas_cascade(
+                out, overflow = modulated_deform_conv_pallas_cascade(
                     x, offset, mask, weight, bias,
                     max_offset=self.max_offset,
                     tail_offset=max(self.hybrid_tail_offset,
                                     self.max_offset + 1),
                     capacity_frac=self.hybrid_capacity,
-                ).astype(x.dtype)
+                    return_overflow=True,
+                )
+                # [n_overflow_blocks, n_taps_beyond_tail]: nonzero means
+                # this image's output is NOT exact DCNv2 — the audit batch's
+                # capacity/radius did not generalize. Captured by
+                # VQLLFLOWDModel.get_sr so the infer CLI can warn/upgrade.
+                self.sow("intermediates", "dcn_overflow", overflow)
+                return out.astype(x.dtype)
             from ..ops.dcn import modulated_deform_conv_hybrid
 
             return modulated_deform_conv_hybrid(
@@ -168,6 +197,7 @@ class WarpBlock(nn.Module):
     dcn_max_offset: int = 2
     dcn_hybrid_capacity: float = 0.125
     dcn_hybrid_tail_offset: int = 8
+    dcn_audit_offsets: bool = False
 
     @nn.compact
     def __call__(self, x_vq, x_residual):
@@ -192,6 +222,7 @@ class WarpBlock(nn.Module):
                          max_offset=self.dcn_max_offset,
                          hybrid_capacity=self.dcn_hybrid_capacity,
                          hybrid_tail_offset=self.dcn_hybrid_tail_offset,
+                         audit_offsets=self.dcn_audit_offsets,
                          name="dcn")(x_vq, side)
 
 
@@ -229,10 +260,17 @@ class MultiScaleDecoder2(nn.Module):
     z_channels: int = 3
     dtype: Dtype = None
     warp_mode: str = "dcn"
-    dcn_impl: str = "xla"
-    dcn_max_offset: int = 2
-    dcn_hybrid_capacity: float = 0.125
-    dcn_hybrid_tail_offset: int = 8
+    # The four dcn_* knobs accept either a scalar (shared by both warps) or
+    # a 2-tuple indexed by warp id (warp_0 = quarter-res level, warp_1 =
+    # half-res level). Offset drift is warp-specific (OFFSET_HIST_r05.json:
+    # warp_0 reaches 6.4 px while warp_1 stays under 0.9), so per-warp
+    # dispatch lets the 80%-of-cost warp keep the cheap clamped kernel
+    # while only the drifted warp pays for a wide radius.
+    dcn_impl: Any = "xla"
+    dcn_max_offset: Any = 2
+    dcn_hybrid_capacity: Any = 0.125
+    dcn_hybrid_tail_offset: Any = 8
+    dcn_audit_offsets: bool = False
     # per-block rematerialization for training memory (see
     # vqllflow_deformable.VQLLFLOWDeformable.remat)
     remat: bool = False
@@ -273,15 +311,22 @@ class MultiScaleDecoder2(nn.Module):
                 h = Mix(
                     m=-1.0 if i_level == 1 else -0.6, name=f"mix_{1 - i_level}"
                 )(enc_feat[i_level].astype(wdt), h)
+                w_idx = 1 - i_level
+
+                def _pw(v, w=w_idx):
+                    # scalar -> shared; tuple/list -> per-warp
+                    return v[w] if isinstance(v, (tuple, list)) else v
+
                 x_vq = WB(
                     dtype=self.dtype, warp_mode=self.warp_mode,
-                    dcn_impl=self.dcn_impl,
-                    dcn_max_offset=self.dcn_max_offset,
-                    dcn_hybrid_capacity=self.dcn_hybrid_capacity,
-                    dcn_hybrid_tail_offset=self.dcn_hybrid_tail_offset,
+                    dcn_impl=_pw(self.dcn_impl),
+                    dcn_max_offset=_pw(self.dcn_max_offset),
+                    dcn_hybrid_capacity=_pw(self.dcn_hybrid_capacity),
+                    dcn_hybrid_tail_offset=_pw(self.dcn_hybrid_tail_offset),
+                    dcn_audit_offsets=self.dcn_audit_offsets,
                     # training (remat on) needs small DCN chunks for HBM
                     dcn_pixels_per_chunk=4096 if self.remat else 16384,
-                    name=f"warp_{1 - i_level}",
+                    name=f"warp_{w_idx}",
                 )(x_code, h)
                 h = h + x_vq * (jnp.mean(h) / jnp.mean(x_vq))
 

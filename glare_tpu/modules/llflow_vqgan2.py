@@ -37,9 +37,17 @@ class LLFlowVQGAN2(nn.Module):
     coupling: str = "CondAffineSeparatedAndCond"
     quant: float = 32.0
     dtype: Dtype = None
+    # structural miniaturization knobs (shipped geometry: 128/2) for
+    # compile-bound correctness runs (__graft_entry__.dryrun_multichip):
+    # same layer/sharding structure at a fraction of the virtual-CPU cost.
+    # cond_feat/color_map head widths are ch-independent, so the flow graph
+    # is unchanged.
+    enc_ch: int = 128
+    enc_num_res_blocks: int = 2
 
     def setup(self):
-        self.RRDB = ConEncoder1(dtype=self.dtype)
+        self.RRDB = ConEncoder1(dtype=self.dtype, ch=self.enc_ch,
+                                num_res_blocks=self.enc_num_res_blocks)
         self.flowUpsamplerNet = FlowUpsamplerNet(
             K=self.K,
             L=self.L,

@@ -38,10 +38,16 @@ class VQLLFLOWDeformable(nn.Module):
     quant: float = 32.0
     dtype: Dtype = None
     warp_mode: str = "dcn"
-    dcn_impl: str = "xla"
-    dcn_max_offset: int = 2
-    dcn_hybrid_capacity: float = 0.125
-    dcn_hybrid_tail_offset: int = 8
+    # scalar (shared) or 2-tuple (per-warp: warp_0 quarter-res, warp_1
+    # half-res) — see MultiScaleDecoder2; measured drift is warp-specific
+    # (OFFSET_HIST_r05.json)
+    dcn_impl: Any = "xla"
+    dcn_max_offset: Any = 2
+    dcn_hybrid_capacity: Any = 0.125
+    dcn_hybrid_tail_offset: Any = 8
+    # sow raw offsets for audits (audit_dcn_offsets clones this on): off by
+    # default so the cheap [2]-counter exactness guard stays cheap
+    dcn_audit_offsets: bool = False
     # rematerialize the AFT decoder blocks during training: the stage-3
     # train step at the shipped conf (256^2, b=2) otherwise exceeds one
     # v5e's 16 GB HBM (the DCN backward's padding-expanded im2col temps) —
@@ -54,9 +60,13 @@ class VQLLFLOWDeformable(nn.Module):
     enc_num_res_blocks: int = 2
     dec_num_res_blocks: int = 2
     decoder_ch: int = 128
+    # conditional-encoder width (shipped 128). Must match decoder_ch and the
+    # VQGAN's ch for the AFT Mix/residual adds to line up — miniaturization
+    # runs shrink all three together (__graft_entry__.dryrun_multichip).
+    enc_ch: int = 128
 
     def setup(self):
-        self.RRDB = ConEncoder1(dtype=self.dtype,
+        self.RRDB = ConEncoder1(dtype=self.dtype, ch=self.enc_ch,
                                 num_res_blocks=self.enc_num_res_blocks)
         self.flowUpsamplerNet = FlowUpsamplerNet(
             K=self.K,
@@ -71,6 +81,7 @@ class VQLLFLOWDeformable(nn.Module):
             dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
             dcn_hybrid_capacity=self.dcn_hybrid_capacity,
             dcn_hybrid_tail_offset=self.dcn_hybrid_tail_offset,
+            dcn_audit_offsets=self.dcn_audit_offsets,
             remat=self.remat,
         )
 

@@ -416,10 +416,11 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "max_offset", "tail_offset", "capacity_frac", "interpret",
-    "rows_per_step"))
+    "rows_per_step", "return_overflow"))
 def modulated_deform_conv_pallas_cascade(
     x, offset, mask, weight, bias=None, max_offset=2, tail_offset=8,
     capacity_frac=0.125, interpret=False, rows_per_step=16,
+    return_overflow=False,
 ):
     """Two-level cascaded DCNv2: fast clamp-R base pass over the whole
     image + a row-block-compacted WIDE-radius (R_tail) pass that fully
@@ -430,7 +431,11 @@ def modulated_deform_conv_pallas_cascade(
     fraction <= capacity_frac (measured checkpoints: |offset| p999 = 6.5,
     max = 11.1 — OFFSET_HIST_r03.json; auto_configure_dcn raises
     tail_offset from the loaded checkpoint's audit). Overflow blocks and
-    taps beyond R_tail degrade to the clamped value.
+    taps beyond R_tail degrade to the clamped value; with
+    ``return_overflow=True`` the call also returns an int32 [2] vector
+    [n_overflow_blocks, n_taps_beyond_tail] so callers can detect a
+    non-exact image and warn or re-dispatch at higher capacity/radius
+    (both counts 0 <=> the output is exact DCNv2).
 
     Unlike ops.dcn.modulated_deform_conv_hybrid (compacted XLA GATHER tail
     — exact unbounded but gather-bound at ~0.7 GB/s on this backend), the
@@ -506,12 +511,15 @@ def modulated_deform_conv_pallas_cascade(
                        -(-int(n_blocks * capacity_frac) // 8) * 8))
     pos = jnp.cumsum(oob_blk.astype(jnp.int32)) - 1
     selected = oob_blk & (pos < n_sel)
-    slot = jnp.where(selected, pos, n_sel)
+    # unselected blocks scatter to the out-of-range slot n_sel+1 so
+    # mode='drop' really drops them; ids[n_sel] keeps the sentinel (it is
+    # only ever touched by the prefetch reading ids[sel+1] on the last step)
+    slot = jnp.where(selected, pos, n_sel + 1)
     ids = (
         jnp.full((n_sel + 1,), sentinel, jnp.int32)
         .at[slot]
         .set(jnp.arange(n_blocks, dtype=jnp.int32), mode="drop")
-    )  # +1: the prefetch reads ids[sel+1] on the last step
+    )
 
     # base buffer (H_pad_base rows) re-homed to the tail's padded height
     base_t = base
@@ -568,4 +576,12 @@ def modulated_deform_conv_pallas_cascade(
     out = out[:, :H, :W, :]
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out.astype(x.dtype)
+    out = out.astype(x.dtype)
+    if return_overflow:
+        overflow = jnp.stack([
+            jnp.sum(oob_blk.astype(jnp.int32))
+            - jnp.sum(selected.astype(jnp.int32)),
+            jnp.sum((jnp.max(offa, axis=-1) > Rt).astype(jnp.int32)),
+        ])
+        return out, overflow
+    return out

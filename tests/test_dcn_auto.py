@@ -74,17 +74,39 @@ def _set_conv_offset_bias(params, value):
     return n[0]
 
 
+def _fake_warp_stats(tap_max, blk_frac, tail_frac=None, radii=(1, 2, 4, 8, 16)):
+    """Fabricated per-warp audit stats: tap_max with uniform block/pixel
+    fractions at every radius below tap_max (0 above)."""
+    return {
+        "tap_p99": tap_max * 0.9,
+        "tap_max": tap_max,
+        "tap_frac_exceed": {
+            r: (tail_frac if tail_frac is not None else
+                (0.05 if r < tap_max else 0.0)) if r < tap_max else 0.0
+            for r in radii},
+        "pix_frac_exceed": {
+            r: (0.1 if r < tap_max else 0.0) for r in radii},
+        "rowblk_frac_exceed_by_rpb": {
+            rpb: {r: (blk_frac if r < tap_max else 0.0) for r in radii}
+            for rpb in (8, 16)},
+    }
+
+
 class TestAutoConfigureDCN:
     def test_audit_reports_offset_stats(self, model):
         lq = jnp.asarray(
             np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
         stats = model.audit_dcn_offsets(lq)
         for key in ("tap_p99", "tap_max", "tap_frac_exceed",
-                    "pix_frac_exceed", "rowblk_frac_exceed"):
+                    "pix_frac_exceed", "rowblk_frac_exceed", "warps"):
             assert key in stats, key
         # fresh init: conv_offset is zero-init -> all offsets exactly 0
         assert stats["tap_max"] == 0.0
         assert stats["tap_frac_exceed"][2] == 0.0
+        # per-warp stats present for both AFT warps
+        assert sorted(stats["warps"]) == ["warp_0", "warp_1"]
+        for ws in stats["warps"].values():
+            assert ws["tap_max"] == 0.0
 
     def test_in_band_offsets_keep_clamped_impl(self, model):
         lq = jnp.asarray(
@@ -93,30 +115,80 @@ class TestAutoConfigureDCN:
         assert model.netG.dcn_impl == "chain"
         assert stats["action"].startswith("kept")
 
-    def test_out_of_band_offsets_switch_to_hybrid(self, model):
-        # simulate a reference-trained checkpoint whose offsets reach 5 px:
-        # > R=2 (clamped semantics deviate), <= 8 (cascade tail covers it)
+    def test_out_of_band_offsets_pick_min_cost_exact(self, model):
+        # simulate a reference-trained checkpoint whose offsets reach 5 px
+        # EVERYWHERE (conv_offset bias): every row block is out of band, so
+        # the cascade's capacity saturates at 1.0 (cost 25 + 289) and the
+        # cheaper exact config is the plain band kernel clamped at
+        # ceil(5 + 1 px margin) = 6 (cost 169)
         _set_conv_offset_bias(model.params, 5.0)
         lq = jnp.asarray(
             np.random.RandomState(2).rand(1, 32, 32, 3), jnp.float32)
         stats = model.auto_configure_dcn(lq)
-        assert model.netG.dcn_impl == "hybrid", stats["action"]
-        # smallest tail radius covering tap max 5.0 from the (4, 8, 16) menu
-        assert model.netG.dcn_hybrid_tail_offset == 8
-        # every row block is out of band -> capacity saturates at the cap
-        assert model.netG.dcn_hybrid_capacity == 0.5
+        # on the CPU test backend the plain clamp is the dense select-chain
+        # ('pallas' band kernel needs Mosaic hardware)
+        assert model.netG.dcn_impl == "chain", stats["action"]
+        assert model.netG.dcn_max_offset == 6, stats["action"]
         assert stats["tap_max"] == pytest.approx(5.0, abs=1e-5)
         # the cloned module must still run (jit cache was invalidated)
         sr = model.get_sr(lq)
         assert np.isfinite(np.asarray(sr)).all()
 
-    def test_retune_existing_hybrid(self, model):
-        # now the model runs 'hybrid'; a second audit retunes capacity
+    def test_per_warp_decisions_from_fabricated_stats(self, model,
+                                                      monkeypatch):
+        """warp_0 drifted with a THIN block tail -> cascade wins there;
+        warp_1 in band -> keeps the clamped impl. The knobs become per-warp
+        tuples (OFFSET_HIST_r05 measures exactly this warp asymmetry)."""
+        model.netG = model.netG.clone(dcn_impl="chain", dcn_max_offset=2)
+        stats = {
+            "tap_p99": 1.0, "tap_max": 6.4,
+            "tap_frac_exceed": {r: 0.0 for r in (1, 2, 4, 8, 16)},
+            "pix_frac_exceed": {r: 0.0 for r in (1, 2, 4, 8, 16)},
+            "rowblk_frac_exceed": {r: 0.0 for r in (1, 2, 4, 8, 16)},
+            "rowblk_frac_exceed_by_rpb": {
+                rpb: {r: 0.0 for r in (1, 2, 4, 8, 16)} for rpb in (8, 16)},
+            "warps": {
+                # cascade cost 25 + 4*0.02*289 = 48 < plain R=8 cost 289
+                "warp_0": _fake_warp_stats(6.4, blk_frac=0.02),
+                "warp_1": _fake_warp_stats(0.5, blk_frac=0.0),
+            },
+        }
+        monkeypatch.setattr(model, "audit_dcn_offsets",
+                            lambda lq, radii=None: stats)
+        out = model.auto_configure_dcn(jnp.zeros((1, 32, 32, 3)))
+        assert model.netG.dcn_impl == ("hybrid", "chain"), out["action"]
+        tails = model.netG.dcn_hybrid_tail_offset
+        assert (tails[0] if isinstance(tails, tuple) else tails) == 8
+        assert model.netG.dcn_hybrid_capacity[0] == pytest.approx(0.08)
+        assert out["decisions"]["warp_1"]["note"].startswith("kept")
+
+    def test_last_dcn_overflow_counts_only_overflow_sows(self, model):
+        """Regression: the mutable intermediates collection in get_sr also
+        records the audit's [B,H,W,G,K,2] "offsets" sows; the overflow
+        accumulator must skip them (summing them raised a broadcast error
+        and would otherwise corrupt the two counters)."""
+        model.netG = model.netG.clone(dcn_impl="hybrid",
+                                      dcn_max_offset=2,
+                                      dcn_hybrid_tail_offset=8,
+                                      dcn_hybrid_capacity=0.25)
+        model._jit_cache.clear()
+        lq = jnp.asarray(
+            np.random.RandomState(4).rand(1, 32, 32, 3), jnp.float32)
+        model.get_sr(lq)
+        ov = model.last_dcn_overflow()
+        assert set(ov) == {"overflow_blocks", "taps_beyond_tail"}
+        # bias 5.0 offsets (prior test) with tail_offset 8 and in-capacity
+        # blocks: taps are within R_tail, so the tap counter must be exactly
+        # 0 — any pollution from the offsets sows would make it huge
+        assert ov["taps_beyond_tail"] == 0, ov
+        assert 0 <= ov["overflow_blocks"] < 10_000, ov
+
+    def test_reconfigure_after_weight_change(self, model):
+        # offsets now reach 3 px everywhere: plain clamp at ceil(3+1)=4
+        # (cost 81) beats the saturated-capacity cascade (25 + 289)
         _set_conv_offset_bias(model.params, 3.0)
         lq = jnp.asarray(
             np.random.RandomState(3).rand(1, 32, 32, 3), jnp.float32)
         stats = model.auto_configure_dcn(lq)
-        assert model.netG.dcn_impl == "hybrid"
-        assert "retuned" in stats["action"]
-        # tap max 3.0 fits the smallest tail radius above R=2
-        assert model.netG.dcn_hybrid_tail_offset == 4
+        assert model.netG.dcn_impl == "chain", stats["action"]
+        assert model.netG.dcn_max_offset == 4

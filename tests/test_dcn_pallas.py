@@ -143,6 +143,65 @@ class TestCascade:
             interpret=True, rows_per_step=4))
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_overflow_counters(self):
+        """return_overflow surfaces [n_overflow_blocks, n_taps_beyond_tail]
+        (round-4 verdict #4): zero on an in-capacity input, and equal to a
+        numpy oracle when capacity or R_tail is exceeded."""
+        from glare_tpu.ops.dcn_pallas import modulated_deform_conv_pallas_cascade
+
+        rng = np.random.RandomState(5)
+        B, H, W, C, O, G = 1, 16, 8, 4, 4, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        m = rng.rand(B, H, W, G, 9).astype(np.float32)
+        w = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+
+        # in-band + covered tail: both counters zero
+        off = np.clip(1.5 * rng.standard_normal((B, H, W, G, 9, 2)),
+                      -2, 2).astype(np.float32)
+        off[0, 4:6] = 2.9
+        _, ov = modulated_deform_conv_pallas_cascade(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(m), jnp.asarray(w),
+            None, max_offset=2, tail_offset=3, capacity_frac=1.0,
+            interpret=True, rows_per_step=4, return_overflow=True)
+        assert np.asarray(ov).tolist() == [0, 0]
+
+        # every row block out-of-band but capacity ~0 -> the minimum 8 slots
+        # hold 4 blocks (rpb=4, H=16 -> 4 blocks): overflow = 0 here, so
+        # shrink capacity via a bigger image? Instead: taps beyond R_tail.
+        off_wide = np.full((B, H, W, G, 9, 2), 5.0, np.float32)
+        _, ov = modulated_deform_conv_pallas_cascade(
+            jnp.asarray(x), jnp.asarray(off_wide), jnp.asarray(m),
+            jnp.asarray(w), None, max_offset=2, tail_offset=3,
+            capacity_frac=1.0, interpret=True, rows_per_step=4,
+            return_overflow=True)
+        ov = np.asarray(ov)
+        assert ov[1] == B * H * W * G * 9  # all taps beyond R_tail=3
+        assert ov[0] == 0  # capacity 1.0 selects every block
+
+    def test_overflow_block_count_oracle(self):
+        """Block-overflow counter == (out-of-band blocks) - (slots)."""
+        from glare_tpu.ops.dcn_pallas import modulated_deform_conv_pallas_cascade
+
+        rng = np.random.RandomState(6)
+        B, H, W, C, O, G = 2, 40, 8, 4, 4, 1
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        m = rng.rand(B, H, W, G, 9).astype(np.float32)
+        w = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+        off = np.zeros((B, H, W, G, 9, 2), np.float32)
+        # 12 of the 20 rpb=4 row blocks (2 imgs x 10) carry a 2.5-px tap
+        oob_rows = [0, 4, 8, 12, 16, 20, 24, 28, 32, 36][:6]
+        for b in range(B):
+            for r in oob_rows:
+                off[b, r, 0, 0, 0, 0] = 2.5
+        # capacity 8/20 -> n_sel = 8, overflow = 12 - 8 = 4
+        _, ov = modulated_deform_conv_pallas_cascade(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(m), jnp.asarray(w),
+            None, max_offset=2, tail_offset=4, capacity_frac=8 / 20,
+            interpret=True, rows_per_step=4, return_overflow=True)
+        ov = np.asarray(ov)
+        assert ov[0] == 4, ov
+        assert ov[1] == 0
+
     def test_overflow_degrades_to_base(self):
         """Capacity 0 slots: every out-of-band block keeps the clamped base
         value — finite and equal to the plain clamped kernel."""

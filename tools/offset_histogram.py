@@ -35,6 +35,9 @@ def collect_offsets(netG, vq, params, vq_vars, lq):
     from glare_tpu.modules.vqllflow_deformable import VQLLFLOWDeformable
     from glare_tpu.modules.vqmodel import VQModel
 
+    # raw-offset sows are gated off by default (they cost ~150 MB/batch
+    # under a capturing apply); flip them on for this audit clone
+    netG = netG.clone(dcn_audit_offsets=True)
     x, lr_enc = netG.apply({"params": params}, lq,
                            method=VQLLFLOWDeformable.latent_half)
     _, _, code_out = vq.apply(vq_vars, x, method=VQModel.decode)
@@ -60,18 +63,43 @@ def collect_offsets(netG, vq, params, vq_vars, lq):
     return out
 
 
-def offset_stats(offs):
-    """offs: [.., 2] raw offsets. Returns the evidence dict."""
-    a = np.abs(offs.reshape(-1, 2))
-    mx = a.max(axis=-1)  # per-tap Linf (the clamp is per-component, Linf is
-    # the conservative bound: a tap is exactly reproduced iff Linf <= R)
+RADII = (1, 2, 4, 8)
+
+
+def offset_stats(chunks):
+    """chunks: list of [B,H,W,G,K,2] raw offsets (one per audited batch).
+    Returns the evidence dict: tap-Linf percentiles + out-of-band fractions
+    at tap, pixel, and row-block granularity. Row blocks are the cascade
+    tail's capacity unit (ops/dcn_pallas.py), reported at both block sizes
+    the kernel can run (rows_per_step 16 for R_tail < 6, 8 otherwise)."""
+    mx = np.concatenate(
+        [np.abs(c.reshape(-1, 2)).max(axis=-1) for c in chunks])
+    # per-tap Linf (the clamp is per-component, Linf is the conservative
+    # bound: a tap is exactly reproduced iff Linf <= R)
     q = lambda p: round(float(np.percentile(mx, p)), 4)
+    pix = np.concatenate(
+        [np.abs(c).max(axis=(3, 4, 5)).reshape(-1) for c in chunks])
+    blk_fr = {}
+    for rpb in (8, 16):
+        blks = []
+        for c in chunks:
+            row = np.abs(c).max(axis=(2, 3, 4, 5))  # [B, H]
+            B_, H_ = row.shape
+            Hb = -(-H_ // rpb) * rpb
+            rowp = np.pad(row, [(0, 0), (0, Hb - H_)])
+            blks.append(rowp.reshape(B_, -1, rpb).max(axis=2).reshape(-1))
+        blk = np.concatenate(blks)
+        blk_fr[str(rpb)] = {str(r): round(float((blk > r).mean()), 6)
+                            for r in RADII}
     return {
         "taps": int(mx.size),
         "p50": q(50), "p90": q(90), "p99": q(99), "p999": q(99.9),
         "max": round(float(mx.max()), 4),
         "frac_exceed": {str(r): round(float((mx > r).mean()), 6)
-                        for r in (1, 2, 4, 8)},
+                        for r in RADII},
+        "pix_frac_exceed": {str(r): round(float((pix > r).mean()), 6)
+                            for r in RADII},
+        "rowblk_frac_exceed_by_rpb": blk_fr,
     }
 
 
@@ -116,13 +144,22 @@ def main():
                                           jnp.asarray(b)).items():
             per_warp.setdefault(name, []).append(offs)
 
-    all_offs = []
+    all_chunks, warp_stats = [], []
     for name, chunks in sorted(per_warp.items()):
-        offs = np.concatenate([c.reshape(-1, 2) for c in chunks])
-        all_offs.append(offs)
-        print(json.dumps({"warp": name, **offset_stats(offs)}))
-    combined = offset_stats(np.concatenate(all_offs))
+        all_chunks.extend(chunks)
+        ws = offset_stats(chunks)
+        warp_stats.append(ws)
+        print(json.dumps({"warp": name, **ws}))
+    combined = offset_stats(all_chunks)
     combined["clamp2px_parity_safe"] = combined["frac_exceed"]["2"] < 1e-3
+    # capacity is one knob shared by every DCN call: the binding constraint
+    # is the WORST per-warp block fraction, not the tap-weighted mean
+    combined["rowblk_frac_exceed_by_rpb_worstwarp"] = {
+        rpb: {str(r): max(ws["rowblk_frac_exceed_by_rpb"][rpb][str(r)]
+                          for ws in warp_stats)
+              for r in RADII}
+        for rpb in ("8", "16")
+    }
     print(json.dumps({"warp": "ALL", **combined}))
 
 

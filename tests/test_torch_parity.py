@@ -570,6 +570,22 @@ class TestProtocolGeometryParity:
                     mod.weight.mul_(0.02)
                     mod.bias.mul_(0.02)
                     mod.logs.mul_(0.02)
+            # Temper the DCN offset heads: fully-random conv_offset weights
+            # produce offsets with |mean| ~1.3e4 px (warp_0) / 1.8e5 px
+            # (warp_1) at this geometry, and DCN output error scales as
+            # offset_noise x feature gradient, making the whole chain
+            # chaotic — measured: the TORCH chain against ITSELF with 2e-6
+            # relative latent noise scores 30.0 dB on this protocol (see
+            # PARITY.md "Protocol-geometry parity"), i.e. the untempered
+            # test cannot distinguish a correct reimplementation from a
+            # wrong one at the 45 dB bar. Real checkpoints put offsets at
+            # <= 6.4 px (OFFSET_HIST_r05.json), so scale the offset heads
+            # to land p99.9 ~= 4-5 px — the regime the test is a proxy for.
+            # Both frameworks inherit the tempering via weight conversion.
+            for w_idx, s in ((0, 2.5e-4), (1, 2.0e-5)):
+                co = tm.deformable_decoder.warp[w_idx].dcn.conv_offset
+                co.weight.mul_(s)
+                co.bias.mul_(s)
 
         # --- protocol preprocessing (identical on both sides) ----------
         rng = np.random.RandomState(7)

@@ -101,13 +101,25 @@ def _resolve_dcn_auto(args):
     cells = lambda r: (2 * r + 1) ** 2
     R0 = int(args.dcn_max_offset)
 
+    def tap_radius(m):
+        # audited per-tap Linf max -> clamp radius. Margin is relative
+        # (50% of the observed max) bounded to [0.5, 1] px: a flat +1 px
+        # would force R=2 on taps whose offsets never reach 0.5 px
+        # (warp_1's entire budget: 32/36 taps peak below 0.5 and fit the
+        # 9-cell R=1 chain), while the runtime overflow guard re-audits
+        # any input that beats the margin anyway.
+        margin = min(1.0, max(0.5, 0.5 * m))
+        return max(1, min(15, int(math.ceil(m + margin))))
+
     def decide(ws):
         tap_max = float(ws["max"])
-        if float(ws["frac_exceed"][str(R0)]) <= 1e-3:
-            return dict(impl="pallas", R=R0, cap=args.hybrid_capacity,
-                        r_tail=args.hybrid_tail, cost=cells(R0),
-                        note=f"kept clamp R={R0} (exact: tail <= 1e-3)")
         opts = []
+        if float(ws["frac_exceed"][str(R0)]) <= 1e-3:
+            # exact as-configured — still competes on cost: per-tap radii
+            # can undercut R0 when the audited maxima sit well inside it
+            opts.append(dict(impl="pallas", R=R0, cap=args.hybrid_capacity,
+                             r_tail=args.hybrid_tail, cost=cells(R0),
+                             note=f"kept clamp R={R0} (exact: tail <= 1e-3)"))
         r_plain = max(1, int(math.ceil(tap_max + 1.0)))
         if r_plain <= 15:
             opts.append(dict(impl="pallas", R=r_plain,
@@ -116,6 +128,25 @@ def _resolve_dcn_auto(args):
                              cost=cells(r_plain),
                              note=f"plain clamp R={r_plain} covers tap max "
                                   f"{tap_max:.1f}+1px"))
+        if "per_gk_max" in ws:
+            # per-tap radii (round 5): each (g,k) tap clamps at its own
+            # audited max + bounded relative margin, so the select-chain
+            # unrolls only that tap's cells — the cost-optimal exact band
+            # configuration when drift is tap-specific
+            # (ops/dcn_pallas.py per-tap kernel).
+            radii = tuple(
+                tuple(tap_radius(m) for m in row)
+                for row in ws["per_gk_max"])
+            n_taps = sum(len(row) for row in radii)
+            mean_cells = sum(cells(r) for row in radii for r in row) / n_taps
+            opts.append(dict(
+                impl="pallas", R=radii, cap=args.hybrid_capacity,
+                r_tail=max(args.hybrid_tail,
+                           max(max(row) for row in radii) + 1),
+                cost=mean_cells,
+                note=(f"per-tap radii {min(min(r) for r in radii)}-"
+                      f"{max(max(r) for r in radii)} px "
+                      f"(mean {mean_cells:.0f} cells/tap)")))
         for r_t in (4, 8, 16):
             if r_t > R0 and tap_max <= r_t - 1.0:
                 rpb = "16" if r_t < 6 else "8"
@@ -140,6 +171,10 @@ def _resolve_dcn_auto(args):
 
     def collapse(vals):
         vals = tuple(vals)
+        if any(isinstance(v, (tuple, list)) for v in vals):
+            # per-tap radius tuples must stay per-warp-wrapped (_pw would
+            # misread a bare [G][K] tuple as a per-warp pair)
+            return vals
         return vals[0] if len(set(vals)) == 1 else vals
 
     args.dcn_impl = collapse(d["impl"] for d in decisions)

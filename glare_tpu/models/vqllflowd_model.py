@@ -400,6 +400,11 @@ class VQLLFLOWDModel(BaseModel):
                     per_warp[wname] = {
                         "tap_p99": float(np.percentile(taps_w, 99)),
                         "tap_max": float(taps_w.max()),
+                        # [G][K] per-tap Linf maxima: feeds per-tap radius
+                        # dispatch (ops/dcn_pallas.py max_offset=[G][K])
+                        "per_gk_max": [
+                            [float(v) for v in row]
+                            for row in offs.max(axis=(0, 1, 2, 5))],
                         "tap_frac_exceed": {
                             r: float((taps_w > r).mean()) for r in radii},
                         "pix_frac_exceed": {
@@ -466,14 +471,20 @@ class VQLLFLOWDModel(BaseModel):
             return {"action": "none (exact xla path)"}
         from ..ops.dcn_pallas import _clamp_rpb
 
-        Rs = [int(r) for r in aslist(getattr(self.netG, "dcn_max_offset", 2))]
+        # a per-warp entry may itself be a [G][K] per-tap radius tuple
+        # (the pallas impl's per-tap dispatch); keep those as tuples
+        Rs = [tuple(tuple(int(r) for r in row) for row in v)
+              if isinstance(v, (tuple, list)) else int(v)
+              for v in aslist(getattr(self.netG, "dcn_max_offset", 2))]
         caps0 = aslist(getattr(self.netG, "dcn_hybrid_capacity", 0.125))
         tails0 = aslist(getattr(self.netG, "dcn_hybrid_tail_offset", 8))
         # audit at the ACTUAL clamp radii (networks.py accepts any integer),
         # not a fixed menu — a fixed-menu .get(R, 0.0) silently reported
         # 'kept' for off-menu radii (r04 ADVICE, medium)
+        int_Rs = {r for r in Rs if isinstance(r, int)} | {
+            r for v in Rs if isinstance(v, tuple) for row in v for r in row}
         stats = self.audit_dcn_offsets(
-            lq, radii=sorted({1, 2, 4, 8, 16} | set(Rs)))
+            lq, radii=sorted({1, 2, 4, 8, 16} | int_Rs))
 
         def cells(r):
             return (2 * int(r) + 1) ** 2
@@ -492,13 +503,34 @@ class VQLLFLOWDModel(BaseModel):
             cheap clamped kernel).
             """
             impl_w, R_w = impls[w], Rs[w]
-            tail = ws["tap_frac_exceed"][R_w]
             tap_max = ws["tap_max"]
-            if impl_w in ("pallas", "chain") and tail <= tap_tol:
-                return dict(impl=impl_w, R=R_w, cap=caps0[w],
-                            r_tail=tails0[w], cost=cells(R_w),
-                            note=f"kept (tail {tail:.6f} <= {tap_tol})")
+            # absent when the caller fabricates stats (tests) — per-tap
+            # options are simply not offered then
+            per_gk = (np.array(ws["per_gk_max"], float)
+                      if "per_gk_max" in ws else None)
             opts = []
+            if isinstance(R_w, tuple):
+                # current config is per-tap radii: exact iff every tap's
+                # measured max stays inside its own radius
+                r_arr = np.array(R_w, float)
+                if (per_gk is not None and impl_w in ("pallas", "chain")
+                        and (per_gk <= r_arr).all()):
+                    opts.append(dict(
+                        impl=impl_w, R=R_w, cap=caps0[w], r_tail=tails0[w],
+                        cost=float(((2 * r_arr + 1) ** 2).mean()),
+                        note="kept (per-tap radii cover audit)"))
+                R_base = 2  # rebuild the option menu from the default base
+            else:
+                tail = ws["tap_frac_exceed"][R_w]
+                if impl_w in ("pallas", "chain") and tail <= tap_tol:
+                    # exact as-configured — still competes on cost: the
+                    # per-tap option can undercut it when the audited
+                    # maxima sit well inside R_w
+                    opts.append(dict(
+                        impl=impl_w, R=R_w, cap=caps0[w], r_tail=tails0[w],
+                        cost=cells(R_w),
+                        note=f"kept (tail {tail:.6f} <= {tap_tol})"))
+                R_base = R_w
             # plain clamped kernel at a radius covering tap max + 1 px
             # input-dependence margin (r04 ADVICE #3). The band kernel needs
             # Mosaic hardware; elsewhere the dense select-chain is the same
@@ -512,30 +544,64 @@ class VQLLFLOWDModel(BaseModel):
                                  cost=cells(r_plain),
                                  note=f"plain clamp R={r_plain} covers tap "
                                       f"max {tap_max:.1f} + 1 px"))
-            # cascade: base R_w + compacted R_tail pass; capacity from the
+            # per-tap radii (pallas band kernel only): each (g,k) tap
+            # clamps at its own audited ceil(max + 1 px), so the
+            # select-chain unrolls only that tap's cells — cost-optimal
+            # when drift is tap-specific (OFFSET_HIST_r05 per_gk: warp_0
+            # spans 1.1-6.4 px across taps -> ~2.3x cheaper than one wide
+            # radius at identical exact-for-the-audit semantics)
+            if (plain_impl == "pallas" and per_gk is not None
+                    and per_gk.max() <= 14.0):
+                # per-tap margin is relative (50% of the observed max)
+                # bounded to [0.5, 1] px — a flat +1 px would force R=2 on
+                # taps that never reach 0.5 px; the runtime overflow guard
+                # re-audits any input that beats the margin
+                radii = tuple(
+                    tuple(max(1, min(15, int(math.ceil(
+                        m + min(1.0, max(0.5, 0.5 * m))))))
+                          for m in row)
+                    for row in ws["per_gk_max"])
+                r_np = np.array(radii, float)
+                mean_cells = float(((2 * r_np + 1) ** 2).mean())
+                opts.append(dict(
+                    impl="pallas", R=radii, cap=caps0[w],
+                    r_tail=max(tails0[w], int(r_np.max()) + 1),
+                    cost=mean_cells,
+                    note=f"per-tap radii {int(r_np.min())}-"
+                         f"{int(r_np.max())} px "
+                         f"(mean {mean_cells:.0f} cells/tap)"))
+            # cascade: base R + compacted R_tail pass; capacity from the
             # measured block tail at the rpb the kernel will actually use,
             # UNCAPPED to 1.0 (a 0.5 cap would silently break exactness)
             for r_t in (4, 8, 16):
-                if r_t > R_w and tap_max <= r_t - 1.0:
+                if r_t > R_base and tap_max <= r_t - 1.0:
                     rpb = _clamp_rpb(r_t, 16)
-                    frac = ws["rowblk_frac_exceed_by_rpb"][rpb][R_w]
+                    frac = ws["rowblk_frac_exceed_by_rpb"][rpb][R_base]
                     cap = min(1.0, max(1 / 64, capacity_margin * frac))
                     opts.append(dict(
-                        impl="hybrid", R=R_w, cap=cap, r_tail=r_t,
-                        cost=cells(R_w) + cap * cells(r_t),
-                        note=f"cascade R={R_w}/R_tail={r_t} cap {cap:.4f} "
+                        impl="hybrid", R=R_base, cap=cap, r_tail=r_t,
+                        cost=cells(R_base) + cap * cells(r_t),
+                        note=f"cascade R={R_base}/R_tail={r_t} cap {cap:.4f} "
                              f"= {capacity_margin}x {rpb}-row-block tail "
                              f"{frac:.4f}"))
             if not opts:
                 # beyond the 16 px cascade menu: unbounded gather tail
-                frac = ws["pix_frac_exceed"][R_w]
+                frac = ws["pix_frac_exceed"][R_base]
                 cap = min(1.0, max(1 / 64, capacity_margin * frac))
-                return dict(impl="hybrid_gather", R=R_w, cap=cap,
+                return dict(impl="hybrid_gather", R=R_base, cap=cap,
                             r_tail=tails0[w], cost=float("inf"),
                             note=f"tap max {tap_max:.1f} beyond the 16 px "
                                  f"cascade menu; gather capacity {cap:.4f} "
                                  f"= {capacity_margin}x pixel tail {frac:.4f}")
-            return min(opts, key=lambda o: o["cost"])
+            best = min(opts, key=lambda o: o["cost"])
+            # hysteresis: keep the exact-as-configured option unless the
+            # winner is >15% cheaper — re-audits run per offending batch
+            # and a marginally-cheaper radius set costs a recompile
+            kept = next((o for o in opts if o["note"].startswith("kept")),
+                        None)
+            if kept is not None and kept["cost"] <= 1.15 * best["cost"]:
+                return kept
+            return best
 
         warp_names = sorted(stats["warps"])
         decisions = [decide(w, stats["warps"][name])
@@ -545,6 +611,11 @@ class VQLLFLOWDModel(BaseModel):
 
         def collapse(vals):
             vals = tuple(vals)
+            if any(isinstance(v, (tuple, list)) for v in vals):
+                # never collapse per-tap radius tuples to a bare value —
+                # downstream per-warp indexing (_pw) would misread a bare
+                # [G][K] tuple as a per-warp pair
+                return vals
             return vals[0] if len(set(vals)) == 1 else vals
 
         new = dict(dcn_impl=collapse(d["impl"] for d in decisions),

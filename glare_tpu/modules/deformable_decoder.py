@@ -22,6 +22,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..nn.layers import AttnBlock, Conv, GroupNorm32, ResnetBlock, Upsample, swish
@@ -56,8 +57,12 @@ class DCNv2Pack(nn.Module):
     pixels_per_chunk: int = 16384
     # clamp radius for the 'pallas'/'chain'/'hybrid' impls (ignored by exact
     # 'xla'). 2 covers GLARE's learned-offset regime; 4 widens the safety
-    # margin at (2R+1)^2-cell cost (both impls verified at R=4, PERF_NOTES.md)
-    max_offset: int = 2
+    # margin at (2R+1)^2-cell cost (both impls verified at R=4,
+    # PERF_NOTES.md). The 'pallas' impl also accepts a [G][K] nested tuple
+    # of PER-TAP radii (from a per-(g,k) offset audit, OFFSET_HIST per_gk):
+    # each tap unrolls only its own (2R_gk+1)^2 cells — the cost-optimal
+    # exact configuration when drift is tap-specific (ops/dcn_pallas.py).
+    max_offset: Any = 2
     # 'hybrid'/'hybrid_gather' only: fraction of row blocks (hybrid) or
     # pixels (hybrid_gather) the exact-tail buffer can hold (exactness
     # guaranteed while the out-of-band fraction stays below it; overflow
@@ -115,23 +120,35 @@ class DCNv2Pack(nn.Module):
             # offsets are input-dependent, the audit radius has a 1 px
             # margin, and anything beyond silently clamps without this).
             # Traced away unless the caller captures intermediates.
+            if isinstance(self.max_offset, (tuple, list)):
+                thresh = jnp.asarray(
+                    np.array(self.max_offset, np.float32)
+                )[None, None, None, :, :]
+            else:
+                thresh = float(self.max_offset)
             overflow = jnp.stack([
                 jnp.zeros((), jnp.int32),
                 jnp.sum((jnp.max(jnp.abs(offset), axis=-1)
-                         > float(self.max_offset)).astype(jnp.int32)),
+                         > thresh).astype(jnp.int32)),
             ])
             self.sow("intermediates", "dcn_overflow", overflow)
         if self.impl == "pallas":
             from ..ops.dcn_pallas import modulated_deform_conv_pallas
 
+            mo = self.max_offset
+            if isinstance(mo, (tuple, list)):  # hashable for the jit cache
+                mo = tuple(tuple(int(r) for r in row) for row in mo)
             return modulated_deform_conv_pallas(
-                x, offset, mask, weight, bias, max_offset=self.max_offset
+                x, offset, mask, weight, bias, max_offset=mo
             ).astype(x.dtype)
         if self.impl == "chain":
             from ..ops.dcn import modulated_deform_conv_chain
 
+            mo = self.max_offset
+            if isinstance(mo, (tuple, list)):  # chain op is uniform-radius
+                mo = max(max(row) for row in mo)
             return modulated_deform_conv_chain(
-                x, offset, mask, weight, bias, max_offset=self.max_offset
+                x, offset, mask, weight, bias, max_offset=mo
             ).astype(x.dtype)
         if self.impl == "hybrid":
             # cascaded band kernel: clamp-R base + row-block-compacted
@@ -139,14 +156,16 @@ class DCNv2Pack(nn.Module):
             # fast default for reference-trained weights. On non-TPU
             # backends fall back to the gather hybrid (the Mosaic kernel
             # needs hardware; interpret mode is test-only).
+            mo = self.max_offset
+            if isinstance(mo, (tuple, list)):  # cascade is uniform-radius
+                mo = max(max(row) for row in mo)
             if jax.default_backend() == "tpu":
                 from ..ops.dcn_pallas import modulated_deform_conv_pallas_cascade
 
                 out, overflow = modulated_deform_conv_pallas_cascade(
                     x, offset, mask, weight, bias,
-                    max_offset=self.max_offset,
-                    tail_offset=max(self.hybrid_tail_offset,
-                                    self.max_offset + 1),
+                    max_offset=mo,
+                    tail_offset=max(self.hybrid_tail_offset, mo + 1),
                     capacity_frac=self.hybrid_capacity,
                     return_overflow=True,
                 )
@@ -159,7 +178,7 @@ class DCNv2Pack(nn.Module):
             from ..ops.dcn import modulated_deform_conv_hybrid
 
             return modulated_deform_conv_hybrid(
-                x, offset, mask, weight, bias, max_offset=self.max_offset,
+                x, offset, mask, weight, bias, max_offset=mo,
                 capacity_frac=self.hybrid_capacity, base="chain",
             ).astype(x.dtype)
         if self.impl == "hybrid_gather":
@@ -169,8 +188,11 @@ class DCNv2Pack(nn.Module):
             from ..ops.dcn import modulated_deform_conv_hybrid
 
             base = "pallas" if jax.default_backend() == "tpu" else "chain"
+            mo = self.max_offset
+            if isinstance(mo, (tuple, list)):
+                mo = max(max(row) for row in mo)
             return modulated_deform_conv_hybrid(
-                x, offset, mask, weight, bias, max_offset=self.max_offset,
+                x, offset, mask, weight, bias, max_offset=mo,
                 capacity_frac=self.hybrid_capacity, base=base,
             ).astype(x.dtype)
         return modulated_deform_conv(
@@ -194,7 +216,8 @@ class WarpBlock(nn.Module):
     flow_max_offset: int = 2
     dcn_impl: str = "xla"
     dcn_pixels_per_chunk: int = 16384
-    dcn_max_offset: int = 2
+    # int, or a [G][K] nested tuple of per-tap radii (pallas impl only)
+    dcn_max_offset: Any = 2
     dcn_hybrid_capacity: float = 0.125
     dcn_hybrid_tail_offset: int = 8
     dcn_audit_offsets: bool = False

@@ -149,15 +149,21 @@ def _kernel_pipe(q_ref, k_ref, v_ref, kmask_ref, o_ref, m_ref, l_ref,
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "n_true",
                                               "interpret", "pipeline"))
-def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
+def flash_attention_nhc(q, k, v, *, bq=None, bk=1024, n_true=None,
                         interpret=False, pipeline=False):
     """Softmax(q k^T / sqrt(c)) v for [B, N, C] single-head inputs.
 
-    Default (bq, bk) = (1024, 1024): best of the block sweep at the B=8
-    16k-token c=512 decoder shape — 30.6 ms / 142 TFLOP/s vs (512, 1024)'s
-    31.2 / 139 (tools/bench_attn_sweep.py, 100 MB VMEM limit; the kernel
-    plateaus at ~140 TFLOP/s across all shapes — the online-softmax VPU
-    chain, not per-step overhead, is the bound).
+    bq=None picks the largest q block in {4096, 2048, 1024} that does not
+    increase padding over a 1024-granular pad — measured best at the B=8
+    16k-token c=512 decoder shape: (4096, 1024) = 30.1 ms / 144.0 TFLOP/s
+    vs (1024, 1024)'s 30.7 / 141.5 and (8192, 1024)'s VMEM OOM (108 MB >
+    100 MB scoped limit). The round-5 sweep (tools/bench_attn_sweep.py)
+    shows a ~138-144 TFLOP/s plateau across shapes and the software-
+    pipelined variant measurably SLOWER (132.8 at (1024,1024) —
+    double-buffered score tiles cost more than the overlap wins), so 73%
+    of bf16 peak is the practical wall for the one-pass kernel here; a
+    two-pass scheme is provably worse (1.5x MXU flops needs an effective
+    >212 TFLOP/s on a 197-peak part). Numbers: PERF_NOTES round 5.
 
     Scores/statistics f32 in VMEM; output dtype follows q. N is padded to
     the block multiples internally and the result sliced back. Callers that
@@ -170,6 +176,10 @@ def flash_attention_nhc(q, k, v, *, bq=1024, bk=1024, n_true=None,
     b, n, c = q.shape
     if n_true is None:
         n_true = n
+    if bq is None:
+        pad1k = -(-n // 1024) * 1024
+        bq = next(cand for cand in (4096, 2048, 1024)
+                  if -(-n // cand) * cand == pad1k)
     # 1/sqrt(c) softmax scale x log2(e), folded into q OUTSIDE the kernel:
     # an [n, c] multiply here replaces an [n, n] per-tile multiply inside
     # the VPU-bound kernel (see _kernel). max/exp2 commute with the

@@ -55,7 +55,7 @@ _KX = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
 def _kernel_core(b, rblk, s, step, total, nxt_bundle,
                  py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp,
                  acc, shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc,
-                 seg, rpb, n_seg, dot_bf16):
+                 seg, rpb, n_seg, dot_bf16, tap_radii=None):
     """Shared body for the full-grid and selected-blocks entries: computes
     the DCN output for `rpb` output rows x one `seg` column segment of
     image `b`, row block `rblk`. `nxt_bundle` = (b, rblk, s, valid) of the
@@ -142,16 +142,22 @@ def _kernel_core(b, rblk, s, step, total, nxt_bundle,
                 w2_all[dr * nsh + i] = w2_all[dr * nsh + i] * w_row
 
         # accumulate per (group, tap) over the statically-valid support:
-        # row hat non-zero only for dr in [ky+P0-R, ky+P0+R], col hat only
-        # for shifts i in [kx+P0-R-1, kx+P0+R-1] — (2R+1)^2 static cells.
+        # row hat non-zero only for dr in [ky+P0-Rgk, ky+P0+Rgk], col hat
+        # only for shifts i in [kx+P0-Rgk-1, kx+P0+Rgk-1] — (2Rgk+1)^2
+        # static cells. tap_radii (per-(g,k) audited maxima, e.g.
+        # OFFSET_HIST_r05 per_gk) shrinks each tap's unroll independently:
+        # warp_0's measured radii cut the cell count 10404 -> ~4500 vs a
+        # uniform R=8 at identical (per-tap-clamped) semantics.
         for g in range(G):
             for k in range(K):
                 gk = g * K + k
-                row0 = _KY[k] + P0 - R
-                sh0 = _KX[k] + P0 - R - 1
+                R_gk = R if tap_radii is None else int(tap_radii[g][k])
+                span_gk = 2 * R_gk + 1
+                row0 = _KY[k] + P0 - R_gk
+                sh0 = _KX[k] + P0 - R_gk - 1
                 acc_kg = None
-                for jr in range(span):
-                    for js in range(span):
+                for jr in range(span_gk):
+                    for js in range(span_gk):
                         w2_idx = (row0 + jr) * nsh + sh0 + js       # row-local
                         sh_idx = (ri + row0 + jr) * nsh + sh0 + js  # block-local
                         term = (
@@ -183,7 +189,7 @@ def _kernel_core(b, rblk, s, step, total, nxt_bundle,
 
 def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
             shifts_all, w2_all, sem, *, R, G, K, Cg, O, band_alloc, seg, rpb,
-            n_rblk, n_seg, n_b, dot_bf16):
+            n_rblk, n_seg, n_b, dot_bf16, tap_radii=None):
     """Full-grid entry: every (b, rblk, s) block is computed."""
     b = pl.program_id(0)
     rblk = pl.program_id(1)
@@ -201,7 +207,7 @@ def _kernel(py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp, acc,
                  py_ref, px_ref, m_ref, w_ref, xt_ref, out_ref, band, samp,
                  acc, shifts_all, w2_all, sem, R=R, G=G, K=K, Cg=Cg, O=O,
                  band_alloc=band_alloc, seg=seg, rpb=rpb, n_seg=n_seg,
-                 dot_bf16=dot_bf16)
+                 dot_bf16=dot_bf16, tap_radii=tap_radii)
 
 
 def _kernel_selected(ids_ref, py_ref, px_ref, m_ref, w_ref, xt_ref, base_ref,
@@ -241,7 +247,8 @@ def _kernel_selected(ids_ref, py_ref, px_ref, m_ref, w_ref, xt_ref, base_ref,
                  dot_bf16=dot_bf16)
 
 
-def _prep(x, offset, mask, weight, R, rpb, extra_block=False):
+def _prep(x, offset, mask, weight, R, rpb, extra_block=False,
+          tap_radii=None):
     """Shared host-side prep: pad+transpose the input band source, build
     band-local sample positions, arrange them into kernel blocks.
 
@@ -285,7 +292,13 @@ def _prep(x, offset, mask, weight, R, rpb, extra_block=False):
     # band-local sample positions per (g, k): local = t + clip(d, -R, R) + P0
     ky = jnp.asarray(np.array(_KY), jnp.float32)
     kx = jnp.asarray(np.array(_KX), jnp.float32)
-    off = jnp.clip(offset.astype(jnp.float32), -R, R)
+    if tap_radii is None:
+        off = jnp.clip(offset.astype(jnp.float32), -R, R)
+    else:
+        # per-(g,k) clamp radius, broadcast over [B, H, W, G, K, 2]
+        r_gk = jnp.asarray(np.array(tap_radii, np.float32))[
+            None, None, None, :, :, None]
+        off = jnp.clip(offset.astype(jnp.float32), -r_gk, r_gk)
     # [B, H, W, G, K] -> row-local float positions (row hat evaluated
     # against dr in [1, 2R+3])
     pyl = ky[None, None, None, None, :] + off[..., 0] + P0
@@ -355,15 +368,29 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
                                  rows_per_step=16):
     """DCNv2 with clamped offsets, Pallas kernel. Layouts as ops.dcn:
     x [B,H,W,C], offset [B,H,W,G,K,2], mask [B,H,W,G,K], weight HWIO.
-    3x3, stride 1, pad 1 only."""
+    3x3, stride 1, pad 1 only.
+
+    max_offset: int (uniform clamp radius) or a [G][K] nested tuple of
+    per-tap radii (from a per-(g,k) offset audit, OFFSET_HIST per_gk).
+    Band sizing/VMEM use the max radius, but each tap's select-chain
+    unrolls only its own (2R_gk+1)^2 cells — on audited checkpoints whose
+    drift is tap-specific this is ~2.3x cheaper than the uniform wide
+    radius at identical semantics (exact for |offset| <= R_gk per tap)."""
     B, H, W, C = x.shape
     kh, kw, wc, O = weight.shape
     assert (kh, kw) == (3, 3) and wc == C
     G, K = offset.shape[3], offset.shape[4]
     assert K == 9 and C % G == 0
-    R = int(max_offset)
+    if isinstance(max_offset, (tuple, list)):
+        tap_radii = tuple(tuple(int(r) for r in row) for row in max_offset)
+        assert len(tap_radii) == G and all(len(r) == K for r in tap_radii)
+        R = max(max(row) for row in tap_radii)
+    else:
+        tap_radii = None
+        R = int(max_offset)
     rpb = _clamp_rpb(R, rows_per_step)
-    PY, PX, MK, Wk, xt, d = _prep(x, offset, mask, weight, R, rpb)
+    PY, PX, MK, Wk, xt, d = _prep(x, offset, mask, weight, R, rpb,
+                                  tap_radii=tap_radii)
     n_rblk, n_seg, Cg = d["n_rblk"], d["n_seg"], d["Cg"]
 
     grid = (B, n_rblk, n_seg)
@@ -373,6 +400,7 @@ def modulated_deform_conv_pallas(x, offset, mask, weight, bias=None,
             band_alloc=d["band_alloc"], seg=d["seg"], rpb=rpb,
             n_rblk=n_rblk, n_seg=n_seg, n_b=B,
             dot_bf16=(d["band_dtype"] == jnp.bfloat16),
+            tap_radii=tap_radii,
         ),
         grid=grid,
         in_specs=[

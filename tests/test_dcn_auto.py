@@ -109,11 +109,20 @@ class TestAutoConfigureDCN:
             assert ws["tap_max"] == 0.0
 
     def test_in_band_offsets_keep_clamped_impl(self, model):
+        # fresh init: conv_offset is zero-init, so every tap max is 0 and
+        # the audit's cost competition tightens the clamp to R=1 (9 cells
+        # vs 25; exact for any input since the offsets are identically 0).
+        # Round-5 change: "kept" is an option, not an early return — a >15%
+        # cheaper exact config wins (the hysteresis guard keeps marginal
+        # ones from churning recompiles).
         lq = jnp.asarray(
             np.random.RandomState(1).rand(1, 32, 32, 3), jnp.float32)
         stats = model.auto_configure_dcn(lq)
         assert model.netG.dcn_impl == "chain"
-        assert stats["action"].startswith("kept")
+        assert model.netG.dcn_max_offset == 1, stats["action"]
+        assert "plain clamp R=1" in stats["action"]
+        sr = model.get_sr(lq)
+        assert np.isfinite(np.asarray(sr)).all()
 
     def test_out_of_band_offsets_pick_min_cost_exact(self, model):
         # simulate a reference-trained checkpoint whose offsets reach 5 px

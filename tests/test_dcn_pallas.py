@@ -66,6 +66,54 @@ class TestPallasDCN:
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_per_tap_radii_matches_per_tap_clipped_xla(self):
+        # per-(g,k) radii (round-5: OFFSET_HIST per_gk dispatch): each
+        # tap's select-chain unrolls its own (2R_gk+1)^2 window; semantics
+        # = XLA exact op on offsets clipped per tap to its radius.
+        rng = np.random.RandomState(5)
+        B, H, W, C, G, O = 1, 4, 100, 8, 2, 16
+        radii = ((2, 1, 3, 2, 4, 2, 1, 3, 2),
+                 (1, 2, 2, 4, 2, 3, 1, 2, 3))
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        offset = (7.0 * rng.standard_normal((B, H, W, G, 9, 2))).astype(np.float32)
+        mask = rng.uniform(0, 1, (B, H, W, G, 9)).astype(np.float32)
+        weight = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+        r_arr = np.array(radii, np.float32)[None, None, None, :, :, None]
+        want = np.asarray(
+            modulated_deform_conv(
+                jnp.asarray(x), jnp.asarray(np.clip(offset, -r_arr, r_arr)),
+                jnp.asarray(mask), jnp.asarray(weight),
+            )
+        )
+        got = np.asarray(
+            modulated_deform_conv_pallas(
+                jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(weight), max_offset=radii, interpret=True,
+                rows_per_step=4,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_per_tap_uniform_equals_scalar(self):
+        # all-equal per-tap radii must reproduce the scalar-radius kernel
+        # (redundant with the XLA-parity case above; interpret-mode traces
+        # cost ~2 min each, so this consistency check rides the slow tier)
+        rng = np.random.RandomState(6)
+        B, H, W, C, G, O = 1, 4, 100, 8, 2, 8
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        offset = (3.0 * rng.standard_normal((B, H, W, G, 9, 2))).astype(np.float32)
+        mask = rng.uniform(0, 1, (B, H, W, G, 9)).astype(np.float32)
+        weight = (0.2 * rng.standard_normal((3, 3, C, O))).astype(np.float32)
+        args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                jnp.asarray(weight))
+        want = np.asarray(modulated_deform_conv_pallas(
+            *args, max_offset=2, interpret=True, rows_per_step=4))
+        got = np.asarray(modulated_deform_conv_pallas(
+            *args, max_offset=((2,) * 9, (2,) * 9), interpret=True,
+            rows_per_step=4))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_bias(self):
         rng = np.random.RandomState(1)
         x = rng.standard_normal((1, 4, 132, 8)).astype(np.float32)

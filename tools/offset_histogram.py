@@ -91,6 +91,28 @@ def offset_stats(chunks):
         blk = np.concatenate(blks)
         blk_fr[str(rpb)] = {str(r): round(float((blk > r).mean()), 6)
                             for r in RADII}
+    # per-deformable-group stats: cost of an exact band kernel scales as
+    # (input channels) x (2R+1)^2, so if drift is concentrated in a subset
+    # of the G offset groups, per-group radius dispatch (channel-sliced
+    # kernel calls summed) beats one wide radius for the whole warp.
+    G = chunks[0].shape[3]
+    groups = []
+    for g in range(G):
+        gm = np.concatenate(
+            [np.abs(c[:, :, :, g]).max(axis=-1).reshape(-1) for c in chunks])
+        groups.append({
+            "max": round(float(gm.max()), 4),
+            "p999": round(float(np.percentile(gm, 99.9)), 4),
+            "frac_exceed": {str(r): round(float((gm > r).mean()), 6)
+                            for r in RADII},
+        })
+    # per-(g,k) tap Linf maxima: the statistic behind per-tap radius
+    # dispatch (modulated_deform_conv_pallas max_offset=[G][K] radii) —
+    # drift is tap-specific even when it is not group-specific, and each
+    # tap's select-chain cost is (2*ceil(max_gk+1)+1)^2 independently.
+    per_gk = np.maximum.reduce(
+        [np.abs(c).max(axis=(0, 1, 2, 5)) for c in chunks])  # [G, K]
+    per_gk_mat = [[round(float(v), 4) for v in row] for row in per_gk]
     return {
         "taps": int(mx.size),
         "p50": q(50), "p90": q(90), "p99": q(99), "p999": q(99.9),
@@ -100,6 +122,8 @@ def offset_stats(chunks):
         "pix_frac_exceed": {str(r): round(float((pix > r).mean()), 6)
                             for r in RADII},
         "rowblk_frac_exceed_by_rpb": blk_fr,
+        "per_group": groups,
+        "per_gk_max": per_gk_mat,
     }
 
 

@@ -84,7 +84,12 @@ class VQDehazeModel(BaseSRModel):
         if load_path and os.path.exists(load_path):
             self.params_g = self.load_network_params(load_path, self.params_g, strict=False)
 
-        self.params_g_ema = jax.tree.map(lambda x: x, self.params_g)
+        # EMA is stored FLAT (one fused axpy/iter instead of one kernel per
+        # tensor — see BaseSRModel.model_ema_flat); unraveled only at save
+        from jax.flatten_util import ravel_pytree
+
+        ema_flat, self._ema_unravel = ravel_pytree(self.params_g)
+        self.params_g_ema = ema_flat
         self.params_g_best = self.params_g
         self._jit = {}
 
@@ -304,7 +309,8 @@ class VQDehazeModel(BaseSRModel):
             loss_dict.update(d_losses)
 
         if self.ema_decay > 0:
-            self.params_g_ema = self.model_ema(self.params_g, self.params_g_ema, self.ema_decay)
+            self.params_g_ema = self.model_ema_flat(
+                self.params_g, self.params_g_ema, self.ema_decay)
 
         self.log_dict = self.reduce_loss_dict(loss_dict)
         return self.log_dict
@@ -362,8 +368,8 @@ class VQDehazeModel(BaseSRModel):
 
     def save(self, epoch, current_iter):
         self.save_network(
-            [self.params_g, self.params_g_ema], "g", current_iter,
-            param_keys=("params", "params_ema"),
+            [self.params_g, self._ema_unravel(self.params_g_ema)], "g",
+            current_iter, param_keys=("params", "params_ema"),
         )
         if hasattr(self, "params_d"):
             self.save_network([self.params_d], "d", current_iter)

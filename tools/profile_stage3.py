@@ -50,8 +50,17 @@ def aggregate_trace(log_dir, n_img):
     paths = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
     assert paths, f"no trace under {log_dir}"
     data = json.load(gzip.open(paths[-1]))
+    # only the per-op device track: the device pid also carries "Steps"
+    # (step-number spans covering whole iterations) and "XLA Modules"
+    # (whole-executable spans) threads whose events carry
+    # device_duration_ps too — counting those doubles whole steps into a
+    # giant '?' category (seen on the stage-1 GAN profile, round 5)
+    op_tids = {(e["pid"], e["tid"]) for e in data["traceEvents"]
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and (e.get("args") or {}).get("name") == "XLA Ops"}
     evs = [e for e in data["traceEvents"]
-           if e.get("ph") == "X" and "device_duration_ps" in (e.get("args") or {})]
+           if e.get("ph") == "X" and "device_duration_ps" in (e.get("args") or {})
+           and (e["pid"], e.get("tid")) in op_tids]
     whiles = sorted((e["ts"], e["ts"] + e["dur"])
                     for e in evs if e["name"].startswith("while"))
 
